@@ -1,44 +1,49 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship validation pipeline; ``queries()`` /
+``oracle_sql()`` expose each implemented operator from SURVEY.md §2
+over the TPC-H-ish parquet tables for the DuckDB correctness gate.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() anywhere in the call graph.
 """
 
 from __future__ import annotations
 
+import shutil
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthesize the interleaved spans table (input_hint
+    shape, sf0.001-scale), run the full validation pipeline (grammar +
+    span-order + ref-integrity + uniqueness + stats + round-trip), and
+    return the per-partition verdicts table."""
+    import pyarrow.parquet as pq
+
+    from zparse_ray.pipelines.validate import run_validation
+    from zparse_ray.synth import SynthConfig, ensure_dataset
+
+    cfg = SynthConfig(n_docs=2_000, n_partitions=4, seed=42)
+    spans_dir = ensure_dataset(cfg)
+    out_dir = "/tmp/zparse_ray_entry_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    res = run_validation(spans_dir, out_dir, round_trip=True)
+    return pq.read_table(res["verdicts_path"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from zparse_ray.pipelines import driver_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return driver_queries.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each queries() entry (column names
+    matched exactly); non-SQL-expressible ops are omitted here and get
+    the driver's rows-only check."""
+    from zparse_ray.pipelines import driver_queries
+
+    return driver_queries.oracle_sql()

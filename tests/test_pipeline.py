@@ -1,0 +1,133 @@
+"""Distributed pipeline vs single-process oracle parity, resume, and
+drift tests (BASELINE.md parity gate: violations byte-match after
+deterministic sort; verdicts match exactly)."""
+
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from zparse_ray.oracle import oracle_validate, read_pipeline_outputs
+from zparse_ray.pipelines.validate import build_profile, run_validation
+from zparse_ray.synth import SynthConfig, ensure_dataset
+
+CFG = SynthConfig(n_docs=2400, n_partitions=6, seed=7)
+OUT = "/tmp/zv_test_pipeline"
+
+
+@pytest.fixture(scope="module")
+def spans_dir(ray_session):
+    return ensure_dataset(CFG)
+
+
+@pytest.fixture(scope="module")
+def run_out(spans_dir):
+    shutil.rmtree(OUT, ignore_errors=True)
+    res = run_validation(spans_dir, OUT, round_trip=True)
+    return res
+
+
+def test_pipeline_matches_oracle(spans_dir, run_out):
+    o_viols, o_verdicts = oracle_validate(spans_dir, round_trip=True)
+    p_viols, p_verdicts = read_pipeline_outputs(OUT)
+    assert len(p_viols) == len(o_viols)
+    for pv, ov in zip(p_viols, o_viols):
+        assert pv == ov, (pv, ov)
+    assert p_verdicts == o_verdicts
+
+
+def test_violations_nonempty_and_typed(run_out):
+    p_viols, _ = read_pipeline_outputs(OUT)
+    checks = {v["check_id"] for v in p_viols}
+    # planted violation classes all surface
+    assert "DuplicateKey" in checks
+    assert "RefIntegrity" in checks
+    assert "SpanOrder" in checks
+    assert "UnterminatedString" in checks or "Expected" in checks
+
+
+def test_verdict_totals(run_out):
+    _, verdicts = read_pipeline_outputs(OUT)
+    assert sum(v["n_docs"] for v in verdicts) == CFG.n_docs
+    assert all(not v["passed"] for v in verdicts)  # planted rates make all fail
+
+
+def test_clean_dataset_passes(ray_session, tmp_path):
+    clean_cfg = SynthConfig(
+        n_docs=400,
+        n_partitions=2,
+        seed=11,
+        invalid_rate=0.0,
+        dup_rate=0.0,
+        dangling_rate=0.0,
+        span_order_rate=0.0,
+    )
+    d = ensure_dataset(clean_cfg)
+    out = str(tmp_path / "clean")
+    run_validation(d, out, round_trip=True)
+    viols, verdicts = read_pipeline_outputs(out)
+    assert viols == []
+    assert all(v["passed"] for v in verdicts)
+
+
+def test_resume_skips_committed(spans_dir, run_out, tmp_path):
+    # simulate a killed run: drop 2 partitions from the manifest and
+    # delete their outputs; a resumed run must reproduce IDENTICAL output
+    before_viols, before_verdicts = read_pipeline_outputs(OUT)
+    mpath = os.path.join(OUT, "manifest.json")
+    m = json.load(open(mpath))
+    committed_before = set(m["partitions"])
+    for pid in ("2", "4"):
+        del m["partitions"][pid]
+    json.dump(m, open(mpath, "w"))
+    for sub in ("violations", "docmeta", "partials"):
+        for name in os.listdir(os.path.join(OUT, sub)):
+            if name.startswith(("part-00002", "part-00004")):
+                os.remove(os.path.join(OUT, sub, name))
+    # track mtimes of committed partition outputs — they must not be rewritten
+    keep = {}
+    for name in os.listdir(os.path.join(OUT, "docmeta")):
+        if name.startswith("part-00001"):
+            p = os.path.join(OUT, "docmeta", name)
+            keep[p] = os.path.getmtime(p)
+
+    res = run_validation(ensure_dataset(CFG), OUT, round_trip=True)
+    after_viols, after_verdicts = read_pipeline_outputs(OUT)
+    assert after_viols == before_viols
+    assert after_verdicts == before_verdicts
+    m2 = json.load(open(mpath))
+    assert set(m2["partitions"]) == committed_before
+    for p, t in keep.items():
+        assert os.path.getmtime(p) == t, f"committed output {p} was rewritten"
+
+
+def test_drift_detection(ray_session, tmp_path):
+    clean_cfg = SynthConfig(
+        n_docs=600, n_partitions=3, seed=21,
+        invalid_rate=0.0, dup_rate=0.0, dangling_rate=0.0, span_order_rate=0.0,
+    )
+    d = ensure_dataset(clean_cfg)
+    out_ref = str(tmp_path / "ref")
+    run_validation(d, out_ref, round_trip=False)
+    profile_path = str(tmp_path / "profile.json")
+    build_profile(out_ref, profile_path)
+
+    # same distribution → no drift
+    out_same = str(tmp_path / "same")
+    run_validation(d, out_same, drift_profile=profile_path)
+    _, verdicts = read_pipeline_outputs(out_same)
+    assert all("Drift" not in v["checks_failed"] for v in verdicts)
+
+    # shifted distribution (much longer spans) → drift flagged
+    shifted_cfg = SynthConfig(
+        n_docs=600, n_partitions=3, seed=22, mean_spans=20,
+        invalid_rate=0.0, dup_rate=0.0, dangling_rate=0.0, span_order_rate=0.0,
+    )
+    d2 = ensure_dataset(shifted_cfg)
+    out_drift = str(tmp_path / "drift")
+    run_validation(d2, out_drift, drift_profile=profile_path)
+    _, verdicts2 = read_pipeline_outputs(out_drift)
+    assert any("Drift" in v["checks_failed"] for v in verdicts2)
+    assert any(not v["passed"] for v in verdicts2)

@@ -1,0 +1,919 @@
+"""Driver-contract queries: every SURVEY §2 operator family exposed as
+a callable over the TPC-H-ish parquet tables, with DuckDB oracle SQL.
+
+Conventions (driver compare: row-count + schema + order-insensitive
+value hash, columns sorted by name):
+- aggregate column names MATCH the SQL aliases exactly
+- money sums rounded to 2 decimals, means/ratios to 4, in BOTH sides
+- deterministic tie-breaks on every top-k
+- reads always prune columns at the source
+
+Scale notes are inline per query: broadcast joins for small sides,
+partial aggregation before shuffles, partial-set unions for
+low-cardinality distincts, sketches for the approximate variants.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
+    i = t.schema.get_field_index(col)
+    return t.set_column(i, col, pc.round(t[col], ndigits=nd))
+
+
+def _scaled_int(t: pa.Table, col: str, scale: int) -> pa.Table:
+    """floor(x*scale + 0.5) as int64 — bit-identical to the SQL oracle's
+    CAST(FLOOR(x*scale + 0.5) AS BIGINT); avoids cross-engine float
+    rounding mismatches on aggregate outputs."""
+    v = np.floor(t[col].to_numpy(zero_copy_only=False) * scale + 0.5).astype(np.int64)
+    i = t.schema.get_field_index(col)
+    return t.set_column(i, col, pa.array(v, pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# aggregates / groupbys
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 flavor: keyed aggregate with vectorized derived column.
+    Scale: partial aggregation happens inside Ray's hash aggregate; only
+    (flag,status) partials shuffle."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def add_disc(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(add_disc, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_extendedprice", alias_name="avg_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+    t = pa.Table.from_pylist(out.take_all())
+    for c, scale in (
+        ("sum_qty", 100),
+        ("sum_base_price", 100),
+        ("sum_disc_price", 100),
+        ("avg_qty", 10_000),
+        ("avg_price", 10_000),
+    ):
+        t = _scaled_int(t, c, scale)
+    return t
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(FLOOR(SUM(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty,
+       CAST(FLOOR(SUM(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_base_price,
+       CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS sum_disc_price,
+       CAST(FLOOR(AVG(l_quantity) * 10000 + 0.5) AS BIGINT) AS avg_qty,
+       CAST(FLOOR(AVG(l_extendedprice) * 10000 + 0.5) AS BIGINT) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def orders_status_priority(sf_dir: str):
+    """Multi-key groupby counts + rounded money sum."""
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
+    )
+    return _scaled_int(pa.Table.from_pylist(out.take_all()), "total_price", 100)
+
+
+_ORDERS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(FLOOR(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_price
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+def top_customers(sf_dir: str):
+    """Broadcast join (customer is the small side: ray.put once, pandas
+    merge per batch) + keyed aggregate + deterministic top-10."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    cust_ref = ray.put(cust)
+
+    totals = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="total_price"))
+    )
+
+    def join_names(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        c = ray.get(cust_ref)
+        m = df.merge(c, left_on="o_custkey", right_on="c_custkey", how="inner")
+        return pa.Table.from_pandas(
+            m[["c_custkey", "c_name", "total_price"]], preserve_index=False
+        )
+
+    joined = totals.map_batches(join_names, batch_format="pyarrow")
+    top = joined.sort(["total_price", "c_custkey"], descending=[True, False]).limit(10)
+    return _scaled_int(pa.Table.from_pylist(top.take_all()), "total_price", 100)
+
+
+_TOPCUST_SQL = """
+SELECT c_custkey, c_name, CAST(FLOOR(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY SUM(o_totalprice) DESC, c_custkey
+LIMIT 10
+"""
+
+
+def region_nation_counts(sf_dir: str):
+    """3-way broadcast join of two dimension tables into customer."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ]
+    dim_ref = ray.put(dim)
+
+    def tag(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().merge(
+            ray.get(dim_ref), left_on="c_nationkey", right_on="n_nationkey"
+        )
+        return pa.Table.from_pandas(df[["r_name"]], preserve_index=False)
+
+    out = (
+        _read(sf_dir, "customer", ["c_nationkey"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+    return pa.Table.from_pylist(out.take_all())
+
+
+_REGION_SQL = """
+SELECT r_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def part_revenue_by_brand(sf_dir: str):
+    """Fact⋈dimension broadcast join + aggregate (part is small)."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    part_ref = ray.put(part)
+
+    def tag(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        df = df.assign(revenue=rev).merge(
+            ray.get(part_ref), left_on="l_partkey", right_on="p_partkey"
+        )
+        return pa.Table.from_pandas(df[["p_brand", "revenue"]], preserve_index=False)
+
+    out = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n_items"))
+    )
+    return _scaled_int(pa.Table.from_pylist(out.take_all()), "revenue", 100)
+
+
+_BRAND_SQL = """
+SELECT p_brand, CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def sort_limit_top_lineitems(sf_dir: str):
+    """Global sort + limit with deterministic tie-break."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    top = ds.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False]
+    ).limit(20)
+    return pa.Table.from_pylist(top.take_all())
+
+
+_SORTLIMIT_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# column stats (D3-D5)
+
+
+def null_type_hist(sf_dir: str):
+    """Per-column null/type histogram partials merged at the driver —
+    whole-column stats never shuffle rows (SURVEY D3)."""
+    from ..stages.stats import column_stats_partial, merge_column_stats
+
+    cols = ["value", "props", "user_id"]
+    ds = _read(sf_dir, "events", cols)
+    merged: dict = {}
+    for b in ds.map_batches(
+        lambda t: pa.Table.from_pylist([{"payload": __import__("json").dumps(
+            {c: s for c, s in column_stats_partial(t, cols).items()}, default=str)}]),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        import json as _j
+
+        for row in b.to_pylist():
+            merged = merge_column_stats(merged, _j.loads(row["payload"]))
+    rows = [
+        {
+            "column_name": c,
+            "n_nulls": merged[c]["nulls"],
+            "n_non_null": merged[c]["count"] - merged[c]["nulls"],
+        }
+        for c in sorted(cols)
+    ]
+    return pa.Table.from_pylist(rows)
+
+
+_NULLHIST_SQL = """
+SELECT 'props' AS column_name, COUNT(*) - COUNT(props) AS n_nulls, COUNT(props) AS n_non_null FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*) - COUNT(user_id), COUNT(user_id) FROM events
+UNION ALL
+SELECT 'value', COUNT(*) - COUNT(value), COUNT(value) FROM events
+"""
+
+
+def minmax_mean(sf_dir: str):
+    """Global min/max/mean via mergeable per-block partials."""
+    from ..stages.stats import column_stats_partial, merge_column_stats
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = _read(sf_dir, "lineitem", cols)
+    import json as _j
+
+    merged: dict = {}
+    for b in ds.map_batches(
+        lambda t: pa.Table.from_pylist(
+            [{"payload": _j.dumps(column_stats_partial(t, cols))}]
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        for row in b.to_pylist():
+            merged = merge_column_stats(merged, _j.loads(row["payload"]))
+    import math as _m
+
+    rows = [
+        {
+            "column_name": c,
+            "min_v": int(_m.floor(float(merged[c]["min"]) * 10_000 + 0.5)),
+            "max_v": int(_m.floor(float(merged[c]["max"]) * 10_000 + 0.5)),
+            "mean_v": int(
+                _m.floor(merged[c]["sum"] / (merged[c]["count"] - merged[c]["nulls"]) * 10_000 + 0.5)
+            ),
+        }
+        for c in sorted(cols)
+    ]
+    return pa.Table.from_pylist(rows)
+
+
+_MINMAX_SQL = """
+SELECT 'l_discount' AS column_name, CAST(FLOOR(MIN(l_discount)*10000+0.5) AS BIGINT) AS min_v, CAST(FLOOR(MAX(l_discount)*10000+0.5) AS BIGINT) AS max_v, CAST(FLOOR(AVG(l_discount)*10000+0.5) AS BIGINT) AS mean_v FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', CAST(FLOOR(MIN(l_extendedprice)*10000+0.5) AS BIGINT), CAST(FLOOR(MAX(l_extendedprice)*10000+0.5) AS BIGINT), CAST(FLOOR(AVG(l_extendedprice)*10000+0.5) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'l_quantity', CAST(FLOOR(MIN(l_quantity)*10000+0.5) AS BIGINT), CAST(FLOOR(MAX(l_quantity)*10000+0.5) AS BIGINT), CAST(FLOOR(AVG(l_quantity)*10000+0.5) AS BIGINT) FROM lineitem
+"""
+
+
+def distinct_counts(sf_dir: str):
+    """Exact distinct counts of low-cardinality columns via per-block
+    unique-set partials unioned at the driver (no full-row shuffle)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+
+    def uniq(t: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for c in ("l_returnflag", "l_linestatus"):
+            u = pc.unique(t[c].combine_chunks()).to_pylist()
+            cols.extend([c] * len(u))
+            vals.extend(u)
+        return pa.table({"col": pa.array(cols, pa.string()), "val": pa.array(vals, pa.string())})
+
+    sets: dict[str, set] = {"l_returnflag": set(), "l_linestatus": set()}
+    for b in ds.map_batches(uniq, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for row in b.to_pylist():
+            sets[row["col"]].add(row["val"])
+    return pa.Table.from_pylist(
+        [
+            {"n_returnflag": len(sets["l_returnflag"]), "n_linestatus": len(sets["l_linestatus"])}
+        ]
+    )
+
+
+_DISTINCT_SQL = """
+SELECT COUNT(DISTINCT l_returnflag) AS n_returnflag, COUNT(DISTINCT l_linestatus) AS n_linestatus
+FROM lineitem
+"""
+
+
+def hll_cardinality(sf_dir: str):
+    """Approximate distinct counts via mergeable HLL partials (D5) —
+    rows-only check (estimates, by design)."""
+    from ..stages.stats import HllPartial, merge_hlls
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    rows = []
+    for b in ds.map_batches(HllPartial(["o_custkey"]), batch_format="pyarrow", concurrency=2).iter_batches(
+        batch_format="pyarrow"
+    ):
+        rows.extend(b.to_pylist())
+    est = merge_hlls(rows)
+    return pa.Table.from_pylist(
+        [{"column_name": c, "approx_distinct": float(round(v))} for c, v in sorted(est.items())]
+    )
+
+
+def tdigest_quantiles(sf_dir: str):
+    """Approximate quantiles via mergeable t-digest partials (D4) —
+    rows-only check (approximation, by design)."""
+    from ..stages.stats import TDigestPartial, merge_tdigests
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    rows = []
+    for b in ds.map_batches(
+        TDigestPartial(["l_extendedprice"]), batch_format="pyarrow", concurrency=2
+    ).iter_batches(batch_format="pyarrow"):
+        rows.extend(b.to_pylist())
+    d = merge_tdigests(rows)["l_extendedprice"]
+    return pa.Table.from_pylist(
+        [
+            {"q": q, "value": round(d.quantile(q), 2)}
+            for q in (0.1, 0.5, 0.9, 0.95, 0.99)
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: JSON props (exercises the JSON parser P2 against DuckDB's),
+# daily windows, sessionization
+
+
+def events_props_extract(sf_dir: str):
+    """Parse events.props with OUR JSON parser (P1-P2 semantics) and
+    aggregate — cross-validates the grammar layer against DuckDB's
+    json_extract on real data."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.json_parser import parse_json
+
+    ds = _read(sf_dir, "events", ["props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = [int(parse_json(p)["k"]) for p in t["props"].to_pylist()]
+        return pa.table({"k_bucket": pa.array([k % 10 for k in ks], pa.int64()),
+                         "k": pa.array(ks, pa.int64())})
+
+    out = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("k_bucket")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+    )
+    return pa.Table.from_pylist(out.take_all())
+
+
+_PROPS_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n, SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY 1
+"""
+
+
+def events_daily_counts(sf_dir: str):
+    """Tumbling daily window as a keyed aggregate over a derived key."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def day_of(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        return pa.table({"day": day, "value": t["value"]})
+
+    out = (
+        ds.map_batches(day_of, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return _scaled_int(pa.Table.from_pylist(out.take_all()), "sum_value", 100)
+
+
+_DAILY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events, CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows (30-min gap) — the streaming-shaped operator:
+    groupby(user).map_groups over ts-sorted groups (SURVEY §'streaming').
+    Per-user session stats reduce to one global row."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff()
+        new_sess = gaps.isna() | (gaps > pd.Timedelta(minutes=30))
+        return pd.DataFrame(
+            {"n_sessions": [int(new_sess.sum())], "n_events": [len(g)]}
+        )
+
+    per_user = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    tot = per_user.sum(["n_sessions", "n_events"])
+    n_sessions = int(tot["sum(n_sessions)"])
+    n_events = int(tot["sum(n_events)"])
+    return pa.Table.from_pylist(
+        [
+            {
+                "n_sessions": n_sessions,
+                "avg_events_per_session": int(np.floor(n_events / n_sessions * 10_000 + 0.5)),
+            }
+        ]
+    )
+
+
+_SESSION_SQL = """
+WITH l AS (
+  SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT COUNT(*) FILTER (WHERE prev IS NULL OR ts - prev > INTERVAL 30 MINUTE) AS n_sessions,
+       CAST(FLOOR(COUNT(*) * 1.0 / COUNT(*) FILTER (WHERE prev IS NULL OR ts - prev > INTERVAL 30 MINUTE) * 10000 + 0.5) AS BIGINT) AS avg_events_per_session
+FROM l
+"""
+
+
+def events_per_type(sf_dir: str):
+    """Keyed aggregate + exact distinct-users per key (two-level
+    groupby: (type,user) partial dedup, then per-type count)."""
+    from ray.data.aggregate import Count, Mean
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+    base = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Mean("value", alias_name="avg_value")
+    )
+    uu = (
+        ds.groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+    )
+    b = pa.Table.from_pylist(base.take_all()).to_pandas()
+    u = pa.Table.from_pylist(uu.take_all()).to_pandas()
+    m = b.merge(u, on="event_type")
+    m["avg_value"] = np.floor(m["avg_value"] * 10_000 + 0.5).astype(np.int64)
+    return pa.Table.from_pandas(m[["event_type", "n_events", "avg_value", "n_users"]], preserve_index=False)
+
+
+_PERTYPE_SQL = """
+SELECT event_type, COUNT(*) AS n_events, CAST(FLOOR(AVG(value) * 10000 + 0.5) AS BIGINT) AS avg_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# text ops / dedup over documents
+
+
+def token_counts(sf_dir: str):
+    """Whitespace token counting (vectorized) aggregated per lang."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.textops import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    out = (
+        ds.map_batches(token_count_batch, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_tokens", alias_name="total_tokens"), Count(alias_name="n_docs"))
+    )
+    return pa.Table.from_pylist(out.take_all())
+
+
+_TOKENS_SQL = """
+SELECT lang,
+       SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def quality_stats(sf_dir: str):
+    """Quality-signal aggregate per source (length stats + long-doc
+    fraction)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def flag_long(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_long", pc.cast(pc.greater(t["n_chars"], 500), pa.int64())
+        )
+
+    out = (
+        ds.map_batches(flag_long, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Mean("n_chars", alias_name="avg_chars"),
+            Sum("is_long", alias_name="n_long"),
+        )
+    )
+    return _scaled_int(pa.Table.from_pylist(out.take_all()), "avg_chars", 10_000)
+
+
+_QUALITY_SQL = """
+SELECT source, COUNT(*) AS n_docs, CAST(FLOOR(AVG(n_chars) * 10000 + 0.5) AS BIGINT) AS avg_chars,
+       SUM(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS n_long
+FROM documents GROUP BY source
+"""
+
+
+def exact_dedup(sf_dir: str):
+    """Exact dedup (D9 / dedup family): content-hash per batch, then
+    per-lang (docs, distinct-content) counts. The shuffle moves only
+    (lang, hash)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import content_hash_batch
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    hashed = ds.map_batches(content_hash_batch, batch_format="pyarrow").select_columns(
+        ["lang", "content_hash"]
+    )
+    uniq = (
+        hashed.groupby(["lang", "content_hash"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_unique_texts"))
+    )
+    total = hashed.groupby("lang").aggregate(Count(alias_name="n_docs"))
+    u = pa.Table.from_pylist(uniq.take_all()).to_pandas()
+    t = pa.Table.from_pylist(total.take_all()).to_pandas()
+    m = t.merge(u, on="lang")
+    return pa.Table.from_pandas(m[["lang", "n_docs", "n_unique_texts"]], preserve_index=False)
+
+
+_DEDUP_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       COUNT(DISTINCT lower(trim(text))) AS n_unique_texts
+FROM documents GROUP BY lang
+"""
+
+
+def _augmented_docs(sf_dir: str):
+    """documents + deterministic near-duplicate mutations of the first
+    50 docs (word drop + case tweak) — the recall corpus for the
+    near-dup operators."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    base = t.to_pandas()
+    mut = base.head(50).copy()
+    mut["doc_id"] = mut["doc_id"] + 1_000_000
+
+    def mutate(s: str) -> str:
+        words = s.split()
+        if len(words) > 4:
+            del words[len(words) // 2]
+        return " ".join(words)
+
+    mut["text"] = mut["text"].map(mutate)
+    return rd.from_pandas(pd.concat([base, mut], ignore_index=True))
+
+
+def minhash_lsh_neardup(sf_dir: str):
+    """MinHash+LSH near-dup: signature → band explode → bucket groupby →
+    candidate pairs → exact-Jaccard verify (≥0.8). Rows-only check; the
+    planted mutations guarantee recall is measurable."""
+    from ..stages.dedup import MinHasher, jaccard, lsh_candidate_pairs, shingles
+
+    docs = _augmented_docs(sf_dir)
+    bands = docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
+    cand = (
+        bands.groupby(["band_id", "band_hash"])
+        .map_groups(lsh_candidate_pairs, batch_format="pandas")
+    )
+    pairs = {(int(r["a"]), int(r["b"])) for r in cand.take_all()}
+    # exact verification on the candidate set only (broadcast texts: the
+    # candidate set is tiny relative to the corpus)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.take_all()
+    }
+    verified = [
+        {"a": a, "b": b, "jaccard": round(jaccard(shingles(texts[a]), shingles(texts[b])), 4)}
+        for a, b in sorted(pairs)
+        if jaccard(shingles(texts[a]), shingles(texts[b])) >= 0.8
+    ]
+    return pa.Table.from_pylist(verified) if verified else pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
+
+
+def simhash_neardup(sf_dir: str):
+    """SimHash near-dup: 64-bit fingerprints; groups sharing a
+    fingerprint (hamming-0 buckets) are duplicates. Rows-only check."""
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import SimHasher
+
+    docs = _augmented_docs(sf_dir)
+    out = (
+        docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+        .groupby("simhash")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+    t = pa.Table.from_pylist(out.take_all())
+    return t.filter(pc.greater(t["n_docs"], 1))
+
+
+def doc_fingerprints(sf_dir: str):
+    """Rolling-hash winnowed fingerprints: how many distinct docs share
+    a fingerprint bucket (content clustering signal). Rows-only."""
+    from ray.data.aggregate import Count
+
+    from ..stages.textops import fingerprint_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+    t = pa.Table.from_pylist(out.take_all())
+    dup = t.filter(pc.greater(t["n_docs"], 1))
+    return pa.Table.from_pylist(
+        [{"n_fingerprints": t.num_rows, "n_shared": dup.num_rows}]
+    )
+
+
+def lang_id_agreement(sf_dir: str):
+    """Heuristic language-ID vs the labeled lang column: confusion
+    counts. Rows-only (the heuristic is engine-defined)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.textops import LangId
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    out = (
+        ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        .groupby(["lang", "predicted_lang"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return pa.Table.from_pylist(out.take_all())
+
+
+def quality_scores(sf_dir: str):
+    """Composite quality scoring (actor-pool stage) summarized per lang.
+    Rows-only (score formula is engine-defined)."""
+    from ray.data.aggregate import Count, Mean
+
+    from ..stages.textops import QualityScorer
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    out = (
+        ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=2)
+        .groupby("lang")
+        .aggregate(
+            Mean("quality_score", alias_name="avg_quality"),
+            Mean("stop_ratio", alias_name="avg_stop_ratio"),
+            Count(alias_name="n_docs"),
+        )
+    )
+    t = pa.Table.from_pylist(out.take_all())
+    t = _round_col(t, "avg_quality", 4)
+    return _round_col(t, "avg_stop_ratio", 4)
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+
+
+def ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 query: numpy matmul per
+    batch against the broadcast query, batch-local top-k, driver merge."""
+    import ray
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import TopKScorer, merge_topk
+
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).filter(
+        pc.equal(pc.field("vec_id"), 0)
+    )["embedding"][0].as_py()
+    q_ref = ray.put(np.asarray(q, dtype=np.float64))
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    partials = ds.map_batches(
+        TopKScorer,
+        fn_constructor_kwargs={"query_ref": q_ref, "k": 10},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    rows = partials.take_all()
+    # order by (rounded sim desc, vec_id) in BOTH engines so float-ulp
+    # ordering differences cannot change the selected set
+    rows.sort(key=lambda r: (-round(r["cosine_sim"], 4), r["vec_id"]))
+    top = rows[:10]
+    return pa.Table.from_pylist(
+        [
+            {
+                "vec_id": r["vec_id"],
+                "cosine_sim": int(np.floor(r["cosine_sim"] * 10_000 + 0.5)),
+            }
+            for r in top
+        ]
+    )
+
+
+_ANN_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id, CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE) AS sim FROM embeddings e, q)
+SELECT vec_id, CAST(FLOOR(sim * 10000 + 0.5) AS BIGINT) AS cosine_sim
+FROM s
+ORDER BY FLOOR(sim * 10000 + 0.5) DESC, vec_id
+LIMIT 10
+"""
+
+
+def embedding_neardup_exact(sf_dir: str):
+    """Exact cosine near-dup pairs (≥0.9): batch × broadcast-matrix
+    matmul (right side broadcast once) — the one-side-fits pattern."""
+    import ray
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    mn = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+    ref = ray.put((ids, mn))
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        bids = batch["vec_id"].to_numpy()
+        bm = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        bmn = bm / np.clip(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12, None)
+        aids, amn = ray.get(ref)
+        sims = bmn @ amn.T
+        ii, jj = np.nonzero(sims >= 0.9)
+        mask = bids[ii] < aids[jj]
+        return pa.table(
+            {
+                "a": pa.array(bids[ii[mask]].astype(np.int64)),
+                "b": pa.array(aids[jj[mask]].astype(np.int64)),
+            }
+        )
+
+    out = ds.map_batches(pairs, batch_format="pyarrow")
+    rows = sorted(out.take_all(), key=lambda r: (r["a"], r["b"]))
+    if not rows:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    return pa.Table.from_pylist(rows)
+
+
+_NEARDUP_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+"""
+
+
+def embedding_neardup_lsh(sf_dir: str):
+    """Scale path: hyperplane-LSH buckets → per-bucket exact cosine.
+    Rows-only (recall < 1 by design)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import HyperplaneLsh, cosine_neardup_pairs
+
+    dim = len(
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, 1)["embedding"][0]
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    bucketed = ds.map_batches(
+        HyperplaneLsh, fn_constructor_kwargs={"dim": dim, "n_bits": 8}, batch_format="pyarrow", concurrency=2
+    )
+    pairs = bucketed.groupby("lsh_bucket").map_groups(
+        lambda g: cosine_neardup_pairs(g, 0.9), batch_format="pandas"
+    )
+    rows = sorted(pairs.take_all(), key=lambda r: (r["a"], r["b"]))
+    if not rows:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "cosine_sim": pa.array([], pa.float64())})
+    t = pa.Table.from_pylist(rows)
+    return _round_col(t, "cosine_sim", 4)
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "orders_status_priority": orders_status_priority,
+        "top_customers": top_customers,
+        "region_nation_counts": region_nation_counts,
+        "part_revenue_by_brand": part_revenue_by_brand,
+        "sort_limit_top_lineitems": sort_limit_top_lineitems,
+        "null_type_hist": null_type_hist,
+        "minmax_mean": minmax_mean,
+        "distinct_counts": distinct_counts,
+        "hll_cardinality": hll_cardinality,
+        "tdigest_quantiles": tdigest_quantiles,
+        "events_props_extract": events_props_extract,
+        "events_daily_counts": events_daily_counts,
+        "events_sessionize": events_sessionize,
+        "events_per_type": events_per_type,
+        "token_counts": token_counts,
+        "quality_stats": quality_stats,
+        "exact_dedup": exact_dedup,
+        "minhash_lsh_neardup": minhash_lsh_neardup,
+        "simhash_neardup": simhash_neardup,
+        "doc_fingerprints": doc_fingerprints,
+        "lang_id_agreement": lang_id_agreement,
+        "quality_scores": quality_scores,
+        "ann_topk": ann_topk,
+        "embedding_neardup_exact": embedding_neardup_exact,
+        "embedding_neardup_lsh": embedding_neardup_lsh,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "orders_status_priority": _ORDERS_SQL,
+        "top_customers": _TOPCUST_SQL,
+        "region_nation_counts": _REGION_SQL,
+        "part_revenue_by_brand": _BRAND_SQL,
+        "sort_limit_top_lineitems": _SORTLIMIT_SQL,
+        "null_type_hist": _NULLHIST_SQL,
+        "minmax_mean": _MINMAX_SQL,
+        "distinct_counts": _DISTINCT_SQL,
+        "events_props_extract": _PROPS_SQL,
+        "events_daily_counts": _DAILY_SQL,
+        "events_sessionize": _SESSION_SQL,
+        "events_per_type": _PERTYPE_SQL,
+        "token_counts": _TOKENS_SQL,
+        "quality_stats": _QUALITY_SQL,
+        "exact_dedup": _DEDUP_SQL,
+        "ann_topk": _ANN_SQL,
+        "embedding_neardup_exact": _NEARDUP_SQL,
+    }

@@ -1,0 +1,330 @@
+"""The flagship validation pipeline (SURVEY §3.4 lifecycle).
+
+    read uncommitted partitions (one parquet file per partition)
+      -> map_batches(SpanValidator actor pool)     # grammar + order +
+         ref-integrity + stats partials; violations/docmeta written
+         per partition by the stage (resumable sink)
+      -> driver streams the tiny partials, committing each partition
+         to the manifest as its expected doc count completes
+    phase 2 (cheap, over compact intermediates):
+      -> doc_id uniqueness: groupby(doc_id).count over docmeta
+         (shuffle of the COMPACT docmeta stream, never the spans)
+      -> drift: per-partition sketches vs a frozen reference profile
+         (KS on t-digest CDFs, PSI on kind histograms)
+      -> per-partition verdicts written
+
+Scale properties: the heavy input is read exactly once and never
+re-materialized; everything that shuffles (docmeta: ~25 bytes/doc) is
+~50x smaller than the input; the broadcast asset set ships once per
+actor; partials/sketches are O(partitions), not O(rows).
+"""
+
+from __future__ import annotations
+
+import glob
+import json as _json
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions import errors as E
+from ..functions.sketches import HyperLogLog, TDigest
+from ..schema import VERDICTS_SCHEMA, VIOLATIONS_SCHEMA
+from ..stages.spancheck import PARTIALS_SCHEMA, SpanValidator
+from ..state.checkpoint import Manifest, clean_stale_outputs
+
+_PART_RE = re.compile(r"part-(\d+)\.parquet$")
+
+
+def _merge_partials(a: dict, b: dict) -> dict:
+    checks = sorted(set(filter(None, a["checks_failed"].split(","))) | set(filter(None, b["checks_failed"].split(","))))
+    ha = _json.loads(a["kind_hist"])
+    for k, v in _json.loads(b["kind_hist"]).items():
+        ha[k] = ha.get(k, 0) + v
+    return {
+        "partition_id": a["partition_id"],
+        "n_docs": a["n_docs"] + b["n_docs"],
+        "n_spans": a["n_spans"] + b["n_spans"],
+        "n_violations": a["n_violations"] + b["n_violations"],
+        "checks_failed": ",".join(checks),
+        "kind_hist": _json.dumps(ha, sort_keys=True),
+        "textlen_tdigest": TDigest.from_bytes(a["textlen_tdigest"]).merge(TDigest.from_bytes(b["textlen_tdigest"])).to_bytes(),
+        "spans_tdigest": TDigest.from_bytes(a["spans_tdigest"]).merge(TDigest.from_bytes(b["spans_tdigest"])).to_bytes(),
+        "doc_hll": HyperLogLog.from_bytes(a["doc_hll"]).merge(HyperLogLog.from_bytes(b["doc_hll"])).to_bytes(),
+        "ref_hll": HyperLogLog.from_bytes(a["ref_hll"]).merge(HyperLogLog.from_bytes(b["ref_hll"])).to_bytes(),
+    }
+
+
+def ks_distance(a: TDigest, b: TDigest, grid: int = 64) -> float:
+    """Max CDF difference over a merged quantile grid (two-sample KS)."""
+    if a.count == 0 or b.count == 0:
+        return 0.0
+    qs = np.linspace(0.01, 0.99, grid)
+    xs = np.unique(np.concatenate([[a.quantile(q) for q in qs], [b.quantile(q) for q in qs]]))
+    return float(max(abs(a.cdf(x) - b.cdf(x)) for x in xs))
+
+
+def psi(expected: dict, actual: dict) -> float:
+    """Population stability index over categorical histograms."""
+    keys = set(expected) | set(actual)
+    te = sum(expected.values()) or 1
+    ta = sum(actual.values()) or 1
+    out = 0.0
+    for k in keys:
+        e = max(expected.get(k, 0) / te, 1e-6)
+        a = max(actual.get(k, 0) / ta, 1e-6)
+        out += (a - e) * np.log(a / e)
+    return float(out)
+
+
+def run_validation(
+    spans_dir: str,
+    out_dir: str,
+    *,
+    round_trip: bool = False,
+    resume: bool = True,
+    concurrency: int | None = None,
+    drift_profile: str | None = None,
+    ks_threshold: float = 0.15,
+    psi_threshold: float = 0.25,
+    max_broadcast_dups: int = 2_000_000,
+) -> dict:
+    """Run the full validation job; returns a summary dict. Requires a
+    live Ray session (never calls ray.init itself)."""
+    import ray
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+    for sub in ("violations", "docmeta", "partials"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+
+    files = sorted(glob.glob(os.path.join(spans_dir, "spans", "part-*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no input partitions under {spans_dir}/spans")
+    pid_of = {f: int(_PART_RE.search(f).group(1)) for f in files}
+    expected = {pid_of[f]: pq.ParquetFile(f).metadata.num_rows for f in files}
+
+    manifest = Manifest(os.path.join(out_dir, "manifest.json"))
+    committed = manifest.committed if resume else set()
+    todo = [f for f in files if pid_of[f] not in committed]
+    clean_stale_outputs(out_dir, {pid_of[f] for f in todo})
+
+    # ------------------------------------------------------------------
+    # phase 1: heavy validation pass, streaming, per-partition commit
+    if todo:
+        assets_path = os.path.join(spans_dir, "assets.parquet")
+        assets_ref = None
+        if os.path.exists(assets_path):
+            assets = pq.read_table(assets_path, columns=["asset_id"])["asset_id"].to_numpy(
+                zero_copy_only=False
+            )
+            assets_ref = ray.put(assets)
+
+        n_cpus = int(ray.cluster_resources().get("CPU", 4))
+        pool = concurrency or max(2, n_cpus - 2)
+        ds = rd.read_parquet(todo, override_num_blocks=len(todo))
+        partials_ds = ds.map_batches(
+            SpanValidator,
+            fn_constructor_kwargs={
+                "assets_ref": assets_ref,
+                "out_dir": out_dir,
+                "round_trip": round_trip,
+            },
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, pool),
+            num_cpus=1,
+        )
+
+        seen: dict[int, int] = {}
+        merged: dict[int, dict] = {}
+        for b in partials_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for row in b.to_pylist():
+                pid = row["partition_id"]
+                seen[pid] = seen.get(pid, 0) + row["n_docs"]
+                merged[pid] = _merge_partials(merged[pid], row) if pid in merged else row
+                if seen[pid] == expected[pid]:
+                    part = merged.pop(pid)
+                    t = pa.Table.from_pylist([part], schema=PARTIALS_SCHEMA)
+                    ppath = os.path.join(out_dir, "partials", f"part-{pid:05d}.parquet")
+                    pq.write_table(t, ppath + ".tmp")
+                    os.replace(ppath + ".tmp", ppath)
+                    manifest.commit(
+                        pid,
+                        {
+                            "n_docs": part["n_docs"],
+                            "n_spans": part["n_spans"],
+                            "n_violations": part["n_violations"],
+                        },
+                    )
+        if merged:
+            raise RuntimeError(
+                f"partitions incomplete after stream: { {p: (seen[p], expected[p]) for p in merged} }"
+            )
+
+    # ------------------------------------------------------------------
+    # phase 2a: doc_id uniqueness over compact docmeta (exact, shuffled)
+    meta_files = sorted(glob.glob(os.path.join(out_dir, "docmeta", "part-*.parquet")))
+    dup_pid_counts: dict[int, int] = {}
+    n_dup_rows = 0
+    if meta_files:
+        import ray.data as rd
+
+        meta = rd.read_parquet(meta_files, columns=["partition_id", "doc_id"])
+        counts = meta.groupby("doc_id").count()
+        cnt_col = [c for c in counts.schema().names if c != "doc_id"][0]
+        dup_ids_ds = counts.map_batches(
+            lambda t: t.filter(pc.greater(t[cnt_col], 1)), batch_format="pyarrow"
+        )
+        # dup id set is tiny at planted rates; broadcast it for the
+        # occurrence scan. (At adversarial scale, flip to a hash-bucket
+        # join: add bucket=hash(doc_id)%B to both sides and groupby it.)
+        dup_rows = dup_ids_ds.take_all()
+        if len(dup_rows) > max_broadcast_dups:
+            raise RuntimeError("dup set too large for broadcast path; use bucket join")
+        dup_count_of = {r["doc_id"]: r[cnt_col] for r in dup_rows}
+        if dup_count_of:
+            dup_ref = ray.put(dup_count_of)
+
+            def _emit_dup_viols(t: pa.Table) -> pa.Table:
+                dc = ray.get(dup_ref)
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                import pandas as pd
+
+                mask = pd.Series(ids).isin(dc.keys()).to_numpy()
+                sel = t.filter(pa.array(mask))
+                sel_ids = sel["doc_id"].to_numpy(zero_copy_only=False)
+                n = sel.num_rows
+                return pa.table(
+                    {
+                        "partition_id": sel["partition_id"].cast(pa.int32()),
+                        "doc_id": sel["doc_id"],
+                        "span_index": pa.array([-1] * n, pa.int32()),
+                        "check_id": pa.array([E.DUPLICATE_KEY] * n, pa.string()),
+                        "detail": pa.array(
+                            [f"doc_id appears {dc[i]} times" for i in sel_ids], pa.string()
+                        ),
+                        "offset": pa.array([-1] * n, pa.int32()),
+                    },
+                    schema=VIOLATIONS_SCHEMA,
+                )
+
+            dup_viols = meta.map_batches(_emit_dup_viols, batch_format="pyarrow").sort(
+                ["partition_id", "doc_id"]
+            )
+            # the dup violation set is small (bounded by the dup rate of
+            # the planted ids); safe to collect
+            dup_tbl = pa.Table.from_pylist(dup_viols.take_all(), schema=VIOLATIONS_SCHEMA)
+            n_dup_rows = dup_tbl.num_rows
+            if n_dup_rows:
+                path = os.path.join(out_dir, "violations", "dups.parquet")
+                pq.write_table(dup_tbl, path + ".tmp")
+                os.replace(path + ".tmp", path)
+                for pid, cnt in zip(*np.unique(dup_tbl["partition_id"].to_numpy(), return_counts=True)):
+                    dup_pid_counts[int(pid)] = int(cnt)
+
+    # ------------------------------------------------------------------
+    # phase 2b: drift vs frozen profile + verdict assembly (driver-side,
+    # O(partitions) work over the tiny partials)
+    profile = None
+    if drift_profile and os.path.exists(drift_profile):
+        profile = _json.loads(open(drift_profile).read())
+
+    partial_files = sorted(glob.glob(os.path.join(out_dir, "partials", "part-*.parquet")))
+    partials = pq.read_table(partial_files).to_pylist() if partial_files else []
+    verdict_rows = []
+    drift_viols = []
+    totals = {"n_docs": 0, "n_spans": 0, "n_violations": 0}
+    for p in sorted(partials, key=lambda r: r["partition_id"]):
+        pid = p["partition_id"]
+        checks = set(filter(None, p["checks_failed"].split(",")))
+        n_viol = p["n_violations"] + dup_pid_counts.get(pid, 0)
+        if dup_pid_counts.get(pid):
+            checks.add(E.DUPLICATE_KEY)
+        if profile is not None:
+            ks_text = ks_distance(
+                TDigest.from_bytes(p["textlen_tdigest"]),
+                TDigest.from_bytes(bytes.fromhex(profile["textlen_tdigest"])),
+            )
+            ks_spans = ks_distance(
+                TDigest.from_bytes(p["spans_tdigest"]),
+                TDigest.from_bytes(bytes.fromhex(profile["spans_tdigest"])),
+            )
+            ks = max(ks_text, ks_spans)
+            p_psi = psi(profile["kind_hist"], _json.loads(p["kind_hist"]))
+            if ks > ks_threshold or p_psi > psi_threshold:
+                checks.add(E.DRIFT)
+                n_viol += 1
+                drift_viols.append(
+                    {
+                        "partition_id": pid,
+                        "doc_id": "",
+                        "span_index": -1,
+                        "check_id": E.DRIFT,
+                        "detail": f"ks={ks:.4f} psi={p_psi:.4f}",
+                        "offset": -1,
+                    }
+                )
+        verdict_rows.append(
+            {
+                "partition_id": pid,
+                "passed": n_viol == 0,
+                "n_docs": p["n_docs"],
+                "n_spans": p["n_spans"],
+                "n_violations": n_viol,
+                "checks_failed": ",".join(sorted(checks)),
+            }
+        )
+        totals["n_docs"] += p["n_docs"]
+        totals["n_spans"] += p["n_spans"]
+        totals["n_violations"] += n_viol
+
+    if drift_viols:
+        t = pa.Table.from_pylist(drift_viols, schema=VIOLATIONS_SCHEMA)
+        path = os.path.join(out_dir, "violations", "drift.parquet")
+        pq.write_table(t, path + ".tmp")
+        os.replace(path + ".tmp", path)
+
+    verdicts = pa.Table.from_pylist(verdict_rows, schema=VERDICTS_SCHEMA)
+    vpath = os.path.join(out_dir, "verdicts.parquet")
+    pq.write_table(verdicts, vpath + ".tmp")
+    os.replace(vpath + ".tmp", vpath)
+
+    return {
+        "out_dir": out_dir,
+        "verdicts_path": vpath,
+        "violations_dir": os.path.join(out_dir, "violations"),
+        "n_partitions": len(verdict_rows),
+        "n_dup_violations": n_dup_rows,
+        **totals,
+    }
+
+
+def build_profile(out_dir: str, profile_path: str) -> dict:
+    """Freeze a reference profile from a completed clean run's partials
+    (global merged textlen digest + kind histogram) for drift checks."""
+    partial_files = sorted(glob.glob(os.path.join(out_dir, "partials", "part-*.parquet")))
+    rows = pq.read_table(partial_files).to_pylist()
+    td = TDigest()
+    td_spans = TDigest()
+    hist: dict[str, int] = {}
+    for p in rows:
+        td = td.merge(TDigest.from_bytes(p["textlen_tdigest"]))
+        td_spans = td_spans.merge(TDigest.from_bytes(p["spans_tdigest"]))
+        for k, v in _json.loads(p["kind_hist"]).items():
+            hist[k] = hist.get(k, 0) + v
+    prof = {
+        "textlen_tdigest": td.to_bytes().hex(),
+        "spans_tdigest": td_spans.to_bytes().hex(),
+        "kind_hist": hist,
+    }
+    tmp = profile_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(prof, f)
+    os.replace(tmp, profile_path)
+    return prof

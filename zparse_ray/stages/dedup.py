@@ -1,0 +1,137 @@
+"""Deduplication operators (exact + near-dup families).
+
+Ray-Data-first shapes:
+
+- exact: vectorized content-hash in ``map_batches`` ->
+  ``groupby(hash).map_groups(head(1))``-equivalent keep-first — the
+  hash-partition + per-group-first pattern (one shuffle of (hash, id),
+  never of the text)
+- MinHash+LSH: shingle -> minhash signature per batch (numpy matrix
+  ops) -> explode to (band_id, band_hash, doc_id) rows ->
+  ``groupby(band)`` -> candidate pairs -> verify exact Jaccard on the
+  candidates only
+- SimHash: 64-bit hyperplane-free simhash of token hashes; near-dups
+  share the same value or differ in <= k bits (bucket by value here)
+- n-gram Jaccard: exact verification kernel used on LSH candidates
+- embedding cosine near-dup lives in stages/similarity.py
+
+All heavy math is numpy per batch; shuffles move only compact
+(hash, id) rows.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.sketches import hash64
+
+_TOKEN = re.compile(r"\w+")
+
+
+def content_hash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Exact-dedup key: stable 64-bit hash of the normalized text."""
+    s = batch[column].to_pandas().fillna("").str.strip().str.lower()
+    h = hash64(s.to_numpy(dtype=object)).astype(np.int64)
+    return batch.append_column("content_hash", pa.array(h, pa.int64()))
+
+
+def shingles(text: str, k: int = 5) -> set[str]:
+    toks = _TOKEN.findall(text.lower())
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+class MinHasher:
+    """Actor-pool stage: per-row minhash signature (n_perm permutations
+    via the Kirsch-Mitzenmacher 2-hash trick) + LSH band hashes.
+
+    Output: one row per (doc, band): (doc_id, band_id, band_hash) —
+    the compact stream the LSH groupby shuffles.
+    """
+
+    def __init__(self, n_perm: int = 128, n_bands: int = 16, shingle_k: int = 5):
+        assert n_perm % n_bands == 0
+        self.n_perm = n_perm
+        self.n_bands = n_bands
+        self.rows_per_band = n_perm // n_bands
+        self.shingle_k = shingle_k
+        rng = np.random.default_rng(0xD1CE)  # fixed: same permutations everywhere
+        self.a = rng.integers(1, 2**61 - 1, n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, 2**61 - 1, n_perm, dtype=np.uint64)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = shingles(text, self.shingle_k)
+        if not sh:
+            return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        h = hash64(np.array(sorted(sh), dtype=object))  # (n_shingles,)
+        with np.errstate(over="ignore"):
+            m = self.a[:, None] * h[None, :] + self.b[:, None]  # (n_perm, n_shingles)
+        return m.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pandas().fillna("")
+        ids = batch["doc_id"].to_numpy()
+        doc_out, band_out, hash_out = [], [], []
+        for did, t in zip(ids, texts):
+            sig = self.signature(t)
+            bands = sig.reshape(self.n_bands, self.rows_per_band)
+            bh = hash64(bands[:, 0] ^ (bands * np.uint64(0x9E3779B9)).sum(axis=1, dtype=np.uint64))
+            doc_out.extend([int(did)] * self.n_bands)
+            band_out.extend(range(self.n_bands))
+            hash_out.extend(bh.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_out, pa.int64()),
+                "band_id": pa.array(band_out, pa.int32()),
+                "band_hash": pa.array(hash_out, pa.int64()),
+            }
+        )
+
+
+def lsh_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """map_groups body over (band_id, band_hash) groups: all doc pairs
+    in a bucket become candidates (bucket sizes are tiny in practice;
+    pathological buckets are truncated and logged via the cap)."""
+    ids = np.unique(group["doc_id"].to_numpy())
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": []})
+    cap = 64  # salt/cap pathological buckets
+    ids = ids[:cap]
+    ii, jj = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+
+
+class SimHasher:
+    """64-bit SimHash over token hashes (vectorized per row)."""
+
+    def __init__(self):
+        self.token = _TOKEN
+
+    def simhash(self, text: str) -> int:
+        toks = self.token.findall(text.lower())
+        if not toks:
+            return 0
+        h = hash64(np.array(toks, dtype=object))
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int32
+        )
+        v = (2 * bits - 1).sum(axis=0)
+        return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().fillna("")
+        vals = np.array([self.simhash(t) for t in s], dtype=np.uint64).astype(np.int64)
+        return batch.append_column("simhash", pa.array(vals, pa.int64()))

@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (list<float>).
+
+- Brute-force cosine top-k: the baseline — numpy matmul per batch
+  against a broadcast query matrix (``ray.put`` once, fetched per
+  actor), partial top-k per batch, merged k-way at the driver. Never
+  materializes the embedding table.
+- LSH-bucketed variant (the scale path): random-hyperplane signatures
+  bucket vectors; only same-bucket candidates are scored — same
+  broadcast-hyperplane pattern, one compact shuffle of (bucket, id).
+- Embedding-cosine near-dup: all pairs above a threshold, LSH-bucketed.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+class TopKScorer:
+    """map_batches actor: scores a batch against the broadcast query
+    matrix, returns the batch-local top-k (id, sim) rows — tiny output,
+    merged by a final driver-side heap."""
+
+    def __init__(self, query_ref, k: int = 10, id_column: str = "vec_id", vec_column: str = "embedding"):
+        import ray
+
+        q = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) else query_ref
+        self.q = np.asarray(q, dtype=np.float64)
+        if self.q.ndim == 1:
+            self.q = self.q[None, :]
+        self.qn = self.q / np.linalg.norm(self.q, axis=1, keepdims=True)
+        self.k = k
+        self.id_column = id_column
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch[self.vec_column])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ self.qn.T  # (n, n_query)
+        ids = batch[self.id_column].to_numpy()
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            k = min(self.k, len(col))
+            top = np.argpartition(-col, k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_id.extend(ids[top])
+            out_sim.extend(col[top])
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                self.id_column: pa.array(np.asarray(out_id, dtype=np.int64), pa.int64()),
+                "cosine_sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def merge_topk(partials: list[dict], k: int, id_column: str = "vec_id") -> list[dict]:
+    """Driver-side k-way merge of batch-local top-k rows."""
+    by_query: dict[int, list] = {}
+    for row in partials:
+        by_query.setdefault(row["query_idx"], []).append(row)
+    out = []
+    for qi, rows in sorted(by_query.items()):
+        best = heapq.nlargest(k, rows, key=lambda r: (r["cosine_sim"], -r[id_column]))
+        out.extend(best)
+    return out
+
+
+class HyperplaneLsh:
+    """Random-hyperplane LSH bucketing: b-bit signature per vector.
+    Broadcast-free: the hyperplanes are regenerated from a fixed seed in
+    each actor (cheaper than shipping them)."""
+
+    def __init__(self, dim: int, n_bits: int = 12, seed: int = 0xA11CE):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_bits))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch["embedding"])
+        sig = (m @ self.planes > 0).astype(np.uint64)
+        bucket = (sig << np.arange(sig.shape[1], dtype=np.uint64)[None, :]).sum(axis=1)
+        return batch.append_column("lsh_bucket", pa.array(bucket.astype(np.int64), pa.int64()))
+
+
+def cosine_neardup_pairs(group, threshold: float = 0.95):
+    """map_groups body over an LSH bucket: exact cosine over the bucket's
+    vectors; emits (a, b, cosine_sim) pairs above threshold."""
+    import pandas as pd
+
+    ids = group["vec_id"].to_numpy()
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": [], "cosine_sim": []})
+    m = np.stack(group["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = m / norms
+    sims = mn @ mn.T
+    ii, jj = np.triu_indices(len(ids), k=1)
+    mask = sims[ii, jj] >= threshold
+    return pd.DataFrame(
+        {
+            "a": ids[ii[mask]].astype(np.int64),
+            "b": ids[jj[mask]].astype(np.int64),
+            "cosine_sim": sims[ii[mask], jj[mask]],
+        }
+    )

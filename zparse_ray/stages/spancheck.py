@@ -1,0 +1,324 @@
+"""D1/D2: the span-structure validator stage.
+
+A callable CLASS for ``map_batches(SpanValidator, concurrency=N,
+batch_format="pyarrow", zero_copy_batch=True)`` — an actor pool: the
+broadcast asset key-set is fetched from the object store ONCE per actor
+in ``__init__`` (never per batch), per the stateful-stage rule.
+
+Per batch (zero-copy Arrow):
+1. vectorized prechecks first — span-count/byte-size limits, offset
+   monotonicity (SpanOrder), media_ref membership against the broadcast
+   asset set (RefIntegrity), unknown kinds — all numpy/pyarrow kernels;
+2. the recursive-descent grammar walk (reference semantics: JSON/JSONC/
+   CSV/TOML/YAML/XML parsers from functions/) runs ONLY on spans whose
+   kind is a grammar kind and which survived the prechecks;
+3. optional round-trip check (D2): parse -> serialize -> reparse ->
+   deep-compare (the reference's property-test invariant,
+   tests/property_tests.rs:121-156, applied per span);
+4. violations + docmeta are written to per-partition parquet files by
+   the stage itself (atomic tmp+rename) — the resumable-sink pattern:
+   blocks align with input partition files, so the driver can commit a
+   partition in the manifest as soon as its expected row count has
+   streamed through;
+5. the stage RETURNS only tiny per-partition partial rows (counts,
+   kind histogram, t-digest / HLL sketch bytes) for the verdict and
+   drift phases — the heavy input stream never leaves the stage.
+
+Scale notes: the grammar walk is the workload's irreducible per-payload
+compute (same as the reference's single-doc parse); throughput comes
+from Ray parallelism. Everything around it is vectorized so the stage
+wall-time is parser-bound, not plumbing-bound.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions import errors as E
+from ..functions.convert import (
+    serialize_csv,
+    serialize_json,
+    serialize_toml,
+    serialize_yaml,
+)
+from ..functions.csv_parser import parse_csv
+from ..functions.errors import ParseError
+from ..functions.json_parser import parse_json, parse_jsonc
+from ..functions.sketches import HyperLogLog, TDigest
+from ..functions.toml_parser import parse_toml
+from ..functions.xml_parser import parse_xml
+from ..functions.yaml_parser import parse_yaml
+from ..schema import GRAMMAR_KINDS, MEDIA_KINDS, SPAN_KINDS, VIOLATIONS_SCHEMA
+from ..value import values_equal
+
+DEFAULT_MAX_SPAN_BYTES = 10 * 1024 * 1024  # reference default max_size
+
+_PARSERS = {
+    "json": parse_json,
+    "jsonc": parse_jsonc,
+    "csv": parse_csv,
+    "toml": parse_toml,
+    "yaml": parse_yaml,
+    "xml": parse_xml,
+}
+
+_SERIALIZERS = {
+    "json": serialize_json,
+    "jsonc": serialize_json,
+    "csv": serialize_csv,
+    "toml": serialize_toml,
+    "yaml": serialize_yaml,
+}
+
+PARTIALS_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("n_docs", pa.int64()),
+        ("n_spans", pa.int64()),
+        ("n_violations", pa.int64()),
+        ("checks_failed", pa.string()),
+        ("kind_hist", pa.string()),
+        ("textlen_tdigest", pa.binary()),
+        ("spans_tdigest", pa.binary()),
+        ("doc_hll", pa.binary()),
+        ("ref_hll", pa.binary()),
+    ]
+)
+
+DOCMETA_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("doc_id", pa.string()),
+        ("n_spans", pa.int32()),
+        ("n_violations", pa.int32()),
+    ]
+)
+
+
+def validate_payloads(
+    kinds: np.ndarray,
+    texts: np.ndarray,
+    idxs: np.ndarray,
+    round_trip: bool,
+):
+    """Grammar walk over the selected spans; yields (flat_idx, check_id,
+    detail). Shared by the distributed stage and the single-process
+    oracle so semantics can never diverge."""
+    out = []
+    for i in idxs:
+        kind = kinds[i]
+        parse = _PARSERS[kind]
+        try:
+            value = parse(texts[i])
+        except ParseError as e:
+            out.append((i, e.check_id, e.message))
+            continue
+        except RecursionError:
+            out.append((i, E.MAX_DEPTH_EXCEEDED, "recursion limit"))
+            continue
+        if round_trip and kind != "xml":
+            ser = _SERIALIZERS[kind]
+            try:
+                back = parse(ser(value))
+            except ParseError as e:
+                out.append((i, E.ROUND_TRIP, f"reparse failed: {e.check_id}"))
+                continue
+            if not values_equal(back, value):
+                out.append((i, E.ROUND_TRIP, "value mismatch after round-trip"))
+    return out
+
+
+class SpanValidator:
+    """map_batches actor: validates one Arrow batch of spans rows."""
+
+    def __init__(
+        self,
+        assets_ref=None,
+        out_dir: str | None = None,
+        round_trip: bool = False,
+        max_span_bytes: int = DEFAULT_MAX_SPAN_BYTES,
+    ):
+        # broadcast key set: ray.put once on the driver, ray.get once per
+        # actor here (never per batch / never re-shipped)
+        self.assets: np.ndarray | None = None
+        if assets_ref is not None:
+            import ray
+
+            assets = ray.get(assets_ref) if not isinstance(assets_ref, np.ndarray) else assets_ref
+            self.assets = np.sort(np.asarray(assets, dtype=object))
+        self.out_dir = out_dir
+        self.round_trip = round_trip
+        self.max_span_bytes = max_span_bytes
+        self.valid_kinds = frozenset(SPAN_KINDS)
+        if out_dir:
+            os.makedirs(os.path.join(out_dir, "violations"), exist_ok=True)
+            os.makedirs(os.path.join(out_dir, "docmeta"), exist_ok=True)
+
+    # -- core ------------------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return PARTIALS_SCHEMA.empty_table()
+        doc_ids = batch["doc_id"].combine_chunks()
+        spans = batch["spans"].combine_chunks()
+        pids = batch["partition_id"].combine_chunks().to_numpy()
+
+        list_offsets = spans.offsets.to_numpy()  # n+1
+        sv = spans.values
+        kind_np = sv.field("kind").to_numpy(zero_copy_only=False)
+        text_arr = sv.field("text")
+        media_np = sv.field("media_ref").to_numpy(zero_copy_only=False)
+        off_np = sv.field("offset").to_numpy()
+        n_rows = batch.num_rows
+        n_spans_total = len(kind_np)
+        # row index of each flattened span
+        row_of = np.repeat(np.arange(n_rows), np.diff(list_offsets))
+        text_bytes = pc.binary_length(pc.cast(text_arr, pa.binary())).to_numpy()
+
+        # (flat_idx or -1, row_idx, span_idx_in_row, check_id, detail)
+        violations: list[tuple[int, int, str, str]] = []  # (flat_idx, row, check, detail)
+        span_index_flat = np.arange(n_spans_total) - list_offsets[:-1][row_of]
+
+        # 1. unknown kinds (vectorized membership)
+        import pandas as pd
+
+        kind_ser = pd.Series(kind_np)
+        bad_kind = ~kind_ser.isin(self.valid_kinds).to_numpy()
+        for i in np.flatnonzero(bad_kind):
+            violations.append((i, int(row_of[i]), E.UNKNOWN_KIND, f"kind={kind_np[i]!r}"))
+
+        # 2. size limit (vectorized)
+        too_big = text_bytes > self.max_span_bytes
+        for i in np.flatnonzero(too_big):
+            violations.append(
+                (i, int(row_of[i]), E.MAX_SIZE_EXCEEDED, f"span bytes {text_bytes[i]}")
+            )
+
+        # 3. span offset order: strictly increasing within each row
+        if n_spans_total > 1:
+            inc = off_np[1:] <= off_np[:-1]
+            same_row = row_of[1:] == row_of[:-1]
+            bad_pos = np.flatnonzero(inc & same_row) + 1
+            for i in bad_pos:
+                violations.append(
+                    (int(i), int(row_of[i]), E.SPAN_ORDER, f"offset {off_np[i]} after {off_np[i-1]}")
+                )
+
+        # 4. media_ref referential integrity (broadcast set, searchsorted)
+        is_media = kind_ser.isin(MEDIA_KINDS).to_numpy()
+        if self.assets is not None and is_media.any():
+            media_idx = np.flatnonzero(is_media)
+            refs = media_np[media_idx]
+            pos = np.searchsorted(self.assets, refs)
+            pos = np.clip(pos, 0, len(self.assets) - 1)
+            found = self.assets[pos] == refs
+            missing = media_idx[(~found) | (refs == "")]
+            for i in missing:
+                violations.append((int(i), int(row_of[i]), E.REF_INTEGRITY, f"media_ref={media_np[i]!r}"))
+
+        # 5. grammar walk on surviving grammar spans
+        is_grammar = kind_ser.isin(GRAMMAR_KINDS).to_numpy()
+        skip = bad_kind | too_big
+        gram_idx = np.flatnonzero(is_grammar & ~skip)
+        if len(gram_idx):
+            texts_np = text_arr.to_numpy(zero_copy_only=False)
+            for i, check_id, detail in validate_payloads(
+                kind_np, texts_np, gram_idx, self.round_trip
+            ):
+                violations.append((int(i), int(row_of[i]), check_id, detail))
+
+        # -- assemble outputs ---------------------------------------------
+        doc_np = doc_ids.to_numpy(zero_copy_only=False)
+        viol_count_per_row = np.zeros(n_rows, dtype=np.int32)
+        if violations:
+            violations.sort(key=lambda v: (doc_np[v[1]], span_index_flat[v[0]], v[2]))
+            for _, r, _, _ in violations:
+                viol_count_per_row[r] += 1
+
+        viol_table = pa.table(
+            {
+                "partition_id": pa.array(
+                    [int(pids[r]) for _, r, _, _ in violations], pa.int32()
+                ),
+                "doc_id": pa.array([doc_np[r] for _, r, _, _ in violations], pa.string()),
+                "span_index": pa.array(
+                    [int(span_index_flat[i]) for i, _, _, _ in violations], pa.int32()
+                ),
+                "check_id": pa.array([c for _, _, c, _ in violations], pa.string()),
+                "detail": pa.array([d for _, _, _, d in violations], pa.string()),
+                "offset": pa.array([int(off_np[i]) for i, _, _, _ in violations], pa.int32()),
+            },
+            schema=VIOLATIONS_SCHEMA,
+        )
+
+        # per-partition partials (a batch usually holds exactly one pid)
+        partial_rows = []
+        for pid in np.unique(pids):
+            rmask = pids == pid
+            smask = rmask[row_of]
+            n_docs = int(rmask.sum())
+            n_sp = int(smask.sum())
+            n_viol = int(viol_count_per_row[rmask].sum())
+            checks = sorted({c for _, r, c, _ in violations if pids[r] == pid})
+            td_text = TDigest()
+            td_text.add(text_bytes[smask].astype(np.float64))
+            td_spans = TDigest()
+            td_spans.add(np.diff(list_offsets)[rmask].astype(np.float64))
+            hll_doc = HyperLogLog()
+            hll_doc.add(doc_np[rmask])
+            hll_ref = HyperLogLog()
+            refs_here = media_np[smask & is_media]
+            if len(refs_here):
+                hll_ref.add(refs_here)
+            hist = pd.Series(kind_np[smask]).value_counts().to_dict()
+            partial_rows.append(
+                {
+                    "partition_id": int(pid),
+                    "n_docs": n_docs,
+                    "n_spans": n_sp,
+                    "n_violations": n_viol,
+                    "checks_failed": ",".join(checks),
+                    "kind_hist": _json.dumps({k: int(v) for k, v in hist.items()}, sort_keys=True),
+                    "textlen_tdigest": td_text.to_bytes(),
+                    "spans_tdigest": td_spans.to_bytes(),
+                    "doc_hll": hll_doc.to_bytes(),
+                    "ref_hll": hll_ref.to_bytes(),
+                }
+            )
+
+        # resumable sink: write this batch's violations + docmeta per pid
+        if self.out_dir:
+            tag = uuid.uuid4().hex[:12]
+            for pid in np.unique(pids):
+                pid = int(pid)
+                pv = viol_table.filter(pc.equal(viol_table["partition_id"], pid))
+                self._atomic_write(
+                    pv, os.path.join(self.out_dir, "violations", f"part-{pid:05d}-{tag}.parquet")
+                )
+                rmask = pids == pid
+                dm = pa.table(
+                    {
+                        "partition_id": pa.array(pids[rmask].astype(np.int32)),
+                        "doc_id": pa.array(doc_np[rmask], pa.string()),
+                        "n_spans": pa.array(np.diff(list_offsets)[rmask].astype(np.int32)),
+                        "n_violations": pa.array(viol_count_per_row[rmask]),
+                    },
+                    schema=DOCMETA_SCHEMA,
+                )
+                self._atomic_write(
+                    dm, os.path.join(self.out_dir, "docmeta", f"part-{pid:05d}-{tag}.parquet")
+                )
+
+        return pa.Table.from_pylist(partial_rows, schema=PARTIALS_SCHEMA)
+
+    @staticmethod
+    def _atomic_write(table: pa.Table, path: str) -> None:
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, path)
