@@ -1,0 +1,165 @@
+"""Benchmark driver (driver contract: prints ONE JSON line).
+
+Headline: validated docs/sec of the flagship span-validation pipeline
+over a deterministic synthetic interleaved table scaled to the SF
+(10M docs/SF → 1M docs at sf0.1), plus representative driver queries
+over $GRAFT_SF_DIR.
+
+  python bench.py              # one run at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling    # fresh processes at 8 and 32 CPUs on the
+                               # same input; reports scaling efficiency
+
+The synthetic input is generated once (Ray-parallel) and cached in
+/tmp keyed by config digest, so scaling runs measure the pipeline, not
+generation; one untimed warm pass primes the page cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _headline(sf_dir: str, n_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=n_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    rd.DataContext.get_current().print_on_execution_start = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from zparse_ray.pipelines import driver_queries as dq
+    from zparse_ray.pipelines.validate import run_validation
+    from zparse_ray.synth import SynthConfig, ensure_dataset
+
+    sf = float(os.environ.get("GRAFT_SF", _sf_from_dir(sf_dir)))
+    n_docs = int(os.environ.get("BENCH_DOCS", max(20_000, int(10_000_000 * sf))))
+    n_parts = max(8, n_docs // 15_625)
+    cfg = SynthConfig(n_docs=n_docs, n_partitions=n_parts)
+    spans_dir = ensure_dataset(cfg)
+
+    # warm page cache (untimed read of the input files)
+    import glob
+
+    for f in glob.glob(os.path.join(spans_dir, "spans", "*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+    # warm the worker pool (untimed): spin up worker processes and import
+    # the engine in each, so the timed run measures steady-state
+    # throughput rather than one-time process startup
+    def _warm(batch):
+        import zparse_ray.stages.spancheck  # noqa: F401
+        return batch
+
+    rd.range(n_cpus * 2, override_num_blocks=n_cpus * 2).map_batches(
+        _warm, batch_size=None
+    ).materialize()
+
+    out_dir = f"/tmp/zparse_ray_bench_out_{n_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    res = run_validation(spans_dir, out_dir, round_trip=False, resume=False)
+    t_validate = time.time() - t0
+
+    queries: dict[str, float] = {"validate": round(t_validate, 3)}
+    qnames = [] if os.environ.get("BENCH_SKIP_QUERIES") else [
+        "q1_pricing_summary",
+        "top_customers",
+        "events_sessionize",
+        "exact_dedup",
+        "token_counts",
+        "ann_topk",
+    ]
+    allq = dq.queries()
+    for name in qnames:
+        t0 = time.time()
+        allq[name](sf_dir)
+        queries[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "validated_docs_per_sec",
+        "value": round(res["n_docs"] / t_validate, 1),
+        "unit": "docs/sec",
+        "validate_sec": round(t_validate, 3),
+        "n_docs": res["n_docs"],
+        "n_spans": res["n_spans"],
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": n_cpus,
+    }
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        # same job, fresh processes, two parallelism levels (sandbox
+        # stand-in for N vs 4N nodes per the north rule). The host is a
+        # shared VM with noisy-neighbor CPU steal (run-to-run variance up
+        # to 2x), so the levels are INTERLEAVED and each is run 3x; the
+        # per-level minimum estimates uncontended capacity.
+        rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
+        times: dict[int, list[float]] = {8: [], 32: []}
+        rates: dict[int, list[float]] = {8: [], 32: []}
+        last = {}
+        for _ in range(rounds):
+            for ncpu in (8, 32):
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                ).stdout
+                r = json.loads(out.strip().splitlines()[-1])
+                last[ncpu] = r
+                times[ncpu].append(r["validate_sec"])
+                rates[ncpu].append(r["value"])
+        t_lo, t_hi = min(times[8]), min(times[32])
+        eff = (t_lo / t_hi) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "fraction",
+                    "docs_per_sec_8": max(rates[8]),
+                    "docs_per_sec_32": max(rates[32]),
+                    "validate_sec_8": t_lo,
+                    "validate_sec_32": t_hi,
+                    "all_sec_8": times[8],
+                    "all_sec_32": times[32],
+                    "sf": last[32]["sf"],
+                }
+            )
+        )
+        return
+    n_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(_headline(sf_dir, n_cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""CLI tests for the parse/convert single-document modes (mirrors the
+reference CLI semantics, zparse-cli/src/main.rs) — run in-process."""
+
+import io
+import sys
+
+import pytest
+
+from zparse_ray.run import main
+
+
+def run_cli(argv, stdin=""):
+    old_in, old_out, old_err = sys.stdin, sys.stdout, sys.stderr
+    sys.stdin = io.StringIO(stdin)
+    sys.stdout, sys.stderr = io.StringIO(), io.StringIO()
+    try:
+        code = main(argv)
+        return code, sys.stdout.getvalue(), sys.stderr.getvalue()
+    finally:
+        sys.stdin, sys.stdout, sys.stderr = old_in, old_out, old_err
+
+
+def test_parse_ok():
+    code, out, _ = run_cli(["parse", "--from", "json"], '{"a": 1}')
+    assert code == 0
+    assert out.strip() == "ok"
+
+
+def test_parse_error_position():
+    code, _, err = run_cli(["parse", "--from", "json"], '{"a": 1,}')
+    assert code == 1
+    assert "error at" in err and "trailing comma" in err
+
+
+def test_parse_print_output():
+    code, out, _ = run_cli(["parse", "--from", "yaml", "--print-output"], "a: 1\nb: x\n")
+    assert code == 0
+    assert out.strip() == '{"a":1,"b":"x"}'
+
+
+def test_convert_stdin_stdout():
+    code, out, _ = run_cli(["convert", "--from", "toml", "--to", "json"], 'a = 1\n')
+    assert code == 0
+    assert out == '{"a":1}'
+
+
+def test_convert_format_sniffing(tmp_path):
+    p = tmp_path / "doc.TOML"
+    p.write_text("x = true\n")
+    code, out, _ = run_cli(["convert", "--to", "yaml", "--input", str(p)])
+    assert code == 0
+    assert out == "x: true"
+
+
+def test_missing_format():
+    code, _, err = run_cli(["parse"], "{}")
+    assert code == 2
+    assert "cannot determine" in err
+
+
+def test_convert_output_file(tmp_path):
+    outp = tmp_path / "out.json"
+    code, _, _ = run_cli(["convert", "--from", "csv", "--to", "json", "--output", str(outp)], "a\n1\n")
+    assert code == 0
+    assert outp.read_text() == '[{"a":1}]'

@@ -103,6 +103,16 @@ def test_resume_skips_committed(spans_dir, run_out, tmp_path):
         assert os.path.getmtime(p) == t, f"committed output {p} was rewritten"
 
 
+def test_distributed_dup_path_matches_driver_path(spans_dir, run_out, tmp_path):
+    # force the distributed groupby(doc_id) path (the 10^12-scale path)
+    # and check it produces byte-identical output to the driver path
+    out2 = str(tmp_path / "dist_dups")
+    run_validation(spans_dir, out2, round_trip=True, dup_driver_threshold=0)
+    a = read_pipeline_outputs(OUT)
+    b = read_pipeline_outputs(out2)
+    assert a == b
+
+
 def test_drift_detection(ray_session, tmp_path):
     clean_cfg = SynthConfig(
         n_docs=600, n_partitions=3, seed=21,

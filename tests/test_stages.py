@@ -1,0 +1,210 @@
+"""Stage-level tests: textops, dedup, similarity, multimodal, stats."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from zparse_ray.stages.dedup import (
+    MinHasher,
+    SimHasher,
+    content_hash_batch,
+    jaccard,
+    shingles,
+)
+from zparse_ray.stages.multimodal import MediaFeatureExtractor, media_spans_of
+from zparse_ray.stages.similarity import TopKScorer, _to_matrix, merge_topk
+from zparse_ray.stages.stats import (
+    column_stats_partial,
+    merge_column_stats,
+)
+from zparse_ray.stages.textops import (
+    BpeishTokenCounter,
+    LangId,
+    QualityScorer,
+    fingerprint_batch,
+    token_count_batch,
+)
+
+
+def _doc_batch(texts, ids=None):
+    return pa.table(
+        {
+            "doc_id": pa.array(ids or list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+# -- textops ---------------------------------------------------------------
+
+def test_token_count():
+    out = token_count_batch(_doc_batch(["a b  c", "", "  x "]))
+    assert out["n_tokens"].to_pylist() == [3, 0, 1]
+
+
+def test_bpeish_tokens():
+    c = BpeishTokenCounter()
+    out = c(_doc_batch(["hello, world! it's 42"]))
+    # hello , world ! it's 42
+    assert out["n_bpeish_tokens"].to_pylist() == [6]
+
+
+def test_quality_scorer_ranges():
+    q = QualityScorer()
+    out = q(_doc_batch(["the cat and the dog sat on the mat with a hat", "!!!???"]))
+    scores = out["quality_score"].to_pylist()
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    assert scores[0] > scores[1]  # stopword-rich prose beats punctuation soup
+    assert out["stop_ratio"].to_pylist()[0] > 0.3
+
+
+def test_lang_id():
+    li = LangId()
+    out = li(
+        _doc_batch(
+            [
+                "the cat and the dog in the house",
+                "der Hund und die Katze ist nicht hier",
+                "le chat et le chien est pour la vie",
+                "xyzzy plugh",
+            ]
+        )
+    )
+    assert out["predicted_lang"].to_pylist() == ["en", "de", "fr", "unknown"]
+
+
+def test_fingerprint_deterministic():
+    b = _doc_batch(["some longish text that will be winnowed into grams"] * 2)
+    out1, out2 = fingerprint_batch(b), fingerprint_batch(b)
+    assert out1["fingerprint"].to_pylist() == out2["fingerprint"].to_pylist()
+    assert out1["content_hash"].to_pylist()[0] == out1["content_hash"].to_pylist()[1]
+
+
+# -- dedup -----------------------------------------------------------------
+
+def test_content_hash_normalizes():
+    out = content_hash_batch(_doc_batch(["  Hello World ", "hello world"]))
+    h = out["content_hash"].to_pylist()
+    assert h[0] == h[1]
+
+
+def test_shingles_and_jaccard():
+    a = shingles("the quick brown fox jumps over the lazy dog", 3)
+    b = shingles("the quick brown fox leaps over the lazy dog", 3)
+    assert 0.3 < jaccard(a, b) < 0.9
+    assert jaccard(a, a) == 1.0
+    assert jaccard(set(), set()) == 1.0
+
+
+def test_minhash_similar_docs_collide():
+    mh = MinHasher(n_perm=64, n_bands=16)
+    t1 = "the quick brown fox jumps over the lazy dog again and again every day"
+    t2 = "the quick brown fox jumps over the lazy dog again and again every night"
+    t3 = "completely different content about data pipelines and arrow batches"
+    out = mh(_doc_batch([t1, t2, t3]))
+    df = out.to_pandas()
+    collisions = df.groupby(["band_id", "band_hash"])["doc_id"].apply(set)
+    joint = [s for s in collisions if len(s) > 1]
+    assert any({0, 1} == s for s in joint)
+    assert not any(2 in s and len(s) > 1 for s in joint)
+
+
+def test_simhash_close_for_similar():
+    sh = SimHasher()
+    a = sh.simhash("the quick brown fox jumps over the lazy dog")
+    b = sh.simhash("the quick brown fox jumps over the lazy cat")
+    c = sh.simhash("totally unrelated words about spark and ray")
+    assert bin(a ^ b).count("1") < bin(a ^ c).count("1")
+
+
+# -- similarity ------------------------------------------------------------
+
+def _emb_batch(n, dim=8, seed=0):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim))
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(r) for r in m.astype(np.float32)], pa.list_(pa.float32())),
+        }
+    ), m
+
+
+def test_topk_scorer_exact():
+    batch, m = _emb_batch(100)
+    q = m[7]
+    scorer = TopKScorer(np.asarray(q), k=5)
+    out = scorer(batch).to_pylist()
+    top = merge_topk(out, 5)
+    assert top[0]["vec_id"] == 7  # self is most similar
+    assert abs(top[0]["cosine_sim"] - 1.0) < 1e-9
+    # brute-force check of the rest
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ (q / np.linalg.norm(q))
+    expect = set(np.argsort(-sims)[:5].tolist())
+    assert {r["vec_id"] for r in top} == expect
+
+
+def test_to_matrix_shape():
+    batch, m = _emb_batch(10, dim=4)
+    mm = _to_matrix(batch["embedding"])
+    assert mm.shape == (10, 4)
+    assert np.allclose(mm, m.astype(np.float32), atol=1e-6)
+
+
+# -- multimodal ------------------------------------------------------------
+
+def test_media_projection():
+    spans_type = pa.list_(
+        pa.struct(
+            [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
+        )
+    )
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["d1"]),
+            "spans": pa.array(
+                [
+                    [
+                        {"kind": "text", "text": "x", "media_ref": "", "offset": 0},
+                        {"kind": "image", "text": "cap", "media_ref": "asset-1", "offset": 2},
+                        {"kind": "audio", "text": "", "media_ref": "asset-2", "offset": 6},
+                    ]
+                ],
+                spans_type,
+            ),
+        }
+    )
+    out = media_spans_of(batch)
+    assert out["asset_id"].to_pylist() == ["asset-1", "asset-2"]
+    assert out["kind"].to_pylist() == ["image", "audio"]
+
+
+def test_media_extractor_stub_raises():
+    ex = MediaFeatureExtractor(decoder=None)
+    b = pa.table({"asset_id": pa.array(["a"]), "kind": pa.array(["image"])})
+    with pytest.raises(NotImplementedError):
+        ex(b)
+
+
+def test_media_extractor_fake_deterministic():
+    ex = MediaFeatureExtractor(decoder="fake", feat_dim=16)
+    b = pa.table({"asset_id": pa.array(["a", "b"]), "kind": pa.array(["image", "audio"])})
+    o1, o2 = ex(b), ex(b)
+    assert o1.equals(o2)
+    assert o1["n_frames"].to_pylist()[1] >= 1
+    f = np.array(o1["feature"].to_pylist()[0])
+    assert abs(np.linalg.norm(f) - 1.0) < 1e-5
+
+
+# -- stats partials --------------------------------------------------------
+
+def test_column_stats_partial_merge():
+    b1 = pa.table({"x": pa.array([1.0, 2.0, None])})
+    b2 = pa.table({"x": pa.array([10.0, None, None])})
+    m = merge_column_stats(column_stats_partial(b1, ["x"]), column_stats_partial(b2, ["x"]))
+    assert m["x"]["count"] == 6
+    assert m["x"]["nulls"] == 3
+    assert m["x"]["min"] == 1.0
+    assert m["x"]["max"] == 10.0
+    assert m["x"]["sum"] == 13.0

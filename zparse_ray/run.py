@@ -1,0 +1,134 @@
+"""CLI entry point (the engine's analog of the reference CLI,
+zparse-cli/src/main.rs — and the `ray job submit` target).
+
+  python -m zparse_ray.run validate --input DIR --output DIR [--round-trip]
+      [--drift-profile FILE] [--no-resume] [--num-cpus N]
+  python -m zparse_ray.run synth --docs N --partitions P --out-base DIR
+  python -m zparse_ray.run convert --from FMT --to FMT [--input FILE] [--output FILE]
+  python -m zparse_ray.run parse [--from FMT] [--input FILE]
+
+`convert`/`parse` mirror the reference CLI semantics on single
+documents (format sniffing from extension, "ok" on successful parse —
+zparse-cli/src/main.rs:195-259); `validate` runs the distributed
+pipeline. Only this module owns the Ray session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _read_input(path: str | None) -> str:
+    if path is None or path == "-":
+        return sys.stdin.read()
+    with open(path, encoding="utf-8") as f:
+        return f.read()
+
+
+def _write_output(path: str | None, data: str) -> None:
+    if path is None or path == "-":
+        sys.stdout.write(data)
+    else:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(data)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="zparse_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="run the distributed validation pipeline")
+    v.add_argument("--input", required=True, help="spans dataset dir (spans/ + assets.parquet)")
+    v.add_argument("--output", required=True, help="output dir (violations/verdicts/manifest)")
+    v.add_argument("--round-trip", action="store_true")
+    v.add_argument("--drift-profile", default=None)
+    v.add_argument("--no-resume", action="store_true")
+    v.add_argument("--num-cpus", type=int, default=None)
+
+    s = sub.add_parser("synth", help="generate a synthetic spans dataset")
+    s.add_argument("--docs", type=int, default=100_000)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--out-base", default="/tmp/zparse_ray_synth")
+
+    c = sub.add_parser("convert", help="convert one document between formats")
+    c.add_argument("--from", dest="from_fmt", default=None)
+    c.add_argument("--to", dest="to_fmt", required=True)
+    c.add_argument("--input", default=None)
+    c.add_argument("--output", default=None)
+
+    p = sub.add_parser("parse", help="parse/validate one document; prints 'ok'")
+    p.add_argument("--from", dest="from_fmt", default=None)
+    p.add_argument("--input", default=None)
+    p.add_argument("--print-output", action="store_true")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd in ("convert", "parse"):
+        from .functions.convert import (
+            convert,
+            detect_format_from_path,
+            parse_value,
+            serialize_json,
+            xml_to_value,
+        )
+        from .functions.errors import ParseError
+        from .functions.xml_parser import parse_xml
+
+        fmt = args.from_fmt or (args.input and detect_format_from_path(args.input))
+        if not fmt:
+            print("error: cannot determine input format (use --from)", file=sys.stderr)
+            return 2
+        text = _read_input(args.input)
+        try:
+            if args.cmd == "convert":
+                _write_output(args.output, convert(text, fmt, args.to_fmt))
+            else:
+                value = xml_to_value(parse_xml(text)) if fmt == "xml" else parse_value(text, fmt)
+                if args.print_output:
+                    _write_output(None, serialize_json(value) + "\n")
+                else:
+                    print("ok")
+        except ParseError as e:
+            print(str(e), file=sys.stderr)
+            return 1
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=getattr(args, "num_cpus", None),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    try:
+        if args.cmd == "synth":
+            from .synth import SynthConfig, ensure_dataset
+
+            cfg = SynthConfig(n_docs=args.docs, n_partitions=args.partitions, seed=args.seed)
+            print(ensure_dataset(cfg, args.out_base))
+            return 0
+        from .pipelines.validate import run_validation
+
+        res = run_validation(
+            args.input,
+            args.output,
+            round_trip=args.round_trip,
+            resume=not args.no_resume,
+            drift_profile=args.drift_profile,
+        )
+        print(json.dumps(res))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,129 @@
+"""Multimodal span processing: decode / feature-extract / resize /
+frame-sample for image/audio spans.
+
+Media payloads are opaque ``binary`` payloads referenced by
+``media_ref`` with typed metadata. The Ray-side plumbing — schema,
+batch sizing, actor signature, output layout — is real and tested; the
+codec calls themselves are STUBBED behind ``decoder=`` because no
+image/audio libraries ship in this container:
+
+- ``decoder=None`` (default) raises NotImplementedError at decode time
+  (the honest stub)
+- ``decoder="fake"`` uses a deterministic fake (seeded from the asset
+  id) so the full pipeline shape can run and be tested
+
+Scale notes: media batches are LARGE per row — callers must size
+``batch_size`` small (e.g. 64) and keep ``batch_format="pyarrow"`` so
+binary payloads never round-trip through pandas object dtype. One
+actor per GPU/worker via ``concurrency=N, num_cpus=c`` mirrors a real
+model-inference stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.sketches import hash64
+
+MEDIA_FEATURES_SCHEMA = pa.schema(
+    [
+        ("asset_id", pa.string()),
+        ("kind", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_frames", pa.int32()),
+        ("feature", pa.list_(pa.float32())),
+    ]
+)
+
+
+def _fake_decode(asset_ids: np.ndarray, kinds: np.ndarray, feat_dim: int):
+    """Deterministic fake decoder: dimensions and features are pure
+    functions of the asset id (stable across runs and workers)."""
+    h = hash64(asset_ids.astype(object))
+    width = (h % np.uint64(1920)).astype(np.int32) + 32
+    height = ((h >> np.uint64(16)) % np.uint64(1080)).astype(np.int32) + 32
+    n_frames = np.where(kinds == "audio", ((h >> np.uint64(32)) % np.uint64(900)).astype(np.int32) + 1, 1)
+    feats = np.empty((len(h), feat_dim), dtype=np.float32)
+    for i, seed in enumerate(h):
+        feats[i] = np.random.default_rng(int(seed)).standard_normal(feat_dim, dtype=np.float32)
+    return width, height, n_frames.astype(np.int32), feats
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage over media spans: (asset_id, kind) in ->
+    decoded metadata + a unit-norm feature vector out.
+
+    Real deployment: ``__init__`` loads the decoder + model weights once
+    per actor; ``__call__`` runs batched inference. Here the decode is
+    stubbed (see module docstring) but everything around it is real.
+    """
+
+    def __init__(self, decoder: str | None = None, feat_dim: int = 64):
+        if decoder not in (None, "fake"):
+            raise ValueError(f"unknown decoder: {decoder!r}")
+        self.decoder = decoder
+        self.feat_dim = feat_dim
+        # real version: self.model = load_model(...); torch.no_grad() etc.
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder is None:
+            raise NotImplementedError(
+                "media decode requires an image/audio codec, none available "
+                "in this environment — construct with decoder='fake' for the "
+                "deterministic stub"
+            )
+        ids = batch["asset_id"].to_numpy(zero_copy_only=False)
+        kinds = batch["kind"].to_numpy(zero_copy_only=False)
+        width, height, n_frames, feats = _fake_decode(ids, kinds, self.feat_dim)
+        norms = np.linalg.norm(feats, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        feats = feats / norms
+        return pa.table(
+            {
+                "asset_id": batch["asset_id"],
+                "kind": batch["kind"],
+                "width": pa.array(width, pa.int32()),
+                "height": pa.array(height, pa.int32()),
+                "n_frames": pa.array(n_frames, pa.int32()),
+                "feature": pa.array(list(feats), pa.list_(pa.float32())),
+            },
+            schema=MEDIA_FEATURES_SCHEMA,
+        )
+
+
+def media_spans_of(batch: pa.Table) -> pa.Table:
+    """Project the interleaved spans table down to its media spans:
+    one row per (asset ref) — the input of the feature extractor."""
+    spans = batch["spans"].combine_chunks()
+    sv = spans.values
+    kinds = sv.field("kind").to_numpy(zero_copy_only=False)
+    refs = sv.field("media_ref").to_numpy(zero_copy_only=False)
+    mask = (kinds == "image") | (kinds == "audio")
+    return pa.table(
+        {
+            "asset_id": pa.array(refs[mask], pa.string()),
+            "kind": pa.array(kinds[mask], pa.string()),
+        }
+    )
+
+
+def extract_media_features(spans_ds, *, decoder: str | None = "fake", batch_size: int = 64,
+                           concurrency: int = 4):
+    """Pipeline: spans table -> media projection -> deduped assets ->
+    actor-pool feature extraction. Returns a Dataset with
+    MEDIA_FEATURES_SCHEMA."""
+    media = spans_ds.map_batches(media_spans_of, batch_format="pyarrow")
+    # dedupe assets before the expensive decode (hash-partition first)
+    from ray.data.aggregate import Count
+
+    uniq = media.groupby(["asset_id", "kind"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    return uniq.map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"decoder": decoder},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
