@@ -1,0 +1,60 @@
+"""Driver-contract queries: spot-check a representative subset against
+DuckDB at sf0.001 (the full sf0.01 sweep lives in
+tools/check_queries.py and the driver's own harness)."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+CHECKED = [
+    "q1_pricing_summary",
+    "top_customers",
+    "events_props_extract",
+    "events_sessionize",
+    "token_counts",
+    "exact_dedup",
+    "ann_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_query_matches_oracle(ray_session, con, name):
+    from zparse_ray.pipelines import driver_queries as dq
+
+    mine = dq.queries()[name](SF_DIR)
+    if isinstance(mine, pa.Table):
+        mine = mine.to_pandas()
+    oracle = con.execute(dq.oracle_sql()[name]).df()
+    pd.testing.assert_frame_equal(
+        canon(mine), canon(oracle), check_dtype=False, rtol=0, atol=1e-9
+    )
+
+
+def test_registry_consistency():
+    from zparse_ray.pipelines import driver_queries as dq
+
+    qs, sqls = dq.queries(), dq.oracle_sql()
+    assert set(sqls) <= set(qs)
+    assert len(qs) >= 30

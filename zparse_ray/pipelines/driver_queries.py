@@ -861,6 +861,120 @@ def embedding_neardup_lsh(sf_dir: str):
     return _round_col(t, "cosine_sim", 4)
 
 
+
+
+# ---------------------------------------------------------------------------
+# conversion operators (C1-C10) exercised distributed, CSV export (C4),
+# multimodal features, flagship summary
+
+
+def convert_matrix(sf_dir: str):
+    """C1-C10 distributed: parse events.props (JSON) with our parser,
+    convert value -> TOML/YAML/XML/CSV -> reparse -> deep-compare.
+    Counts per (target, ok). Rows-only (converters are engine-defined);
+    the grammar/convert layer itself is DuckDB-cross-checked via
+    events_props_extract and unit property tests."""
+    from ray.data.aggregate import Count
+
+    from ..functions.convert import convert
+    from ..functions.json_parser import parse_json
+    from ..value import values_equal
+
+    ds = _read(sf_dir, "events", ["props"])
+
+    def roundtrips(t: pa.Table) -> pa.Table:
+        targets = ("toml", "yaml", "xml", "csv")
+        out_target, out_ok = [], []
+        for p in t["props"].to_pylist():
+            for tgt in targets:
+                try:
+                    there = convert(p, "json", tgt)
+                    back = convert(there, tgt, "json")
+                    ok = values_equal(parse_json(back), parse_json(p))
+                except Exception:
+                    ok = False
+                out_target.append(tgt)
+                out_ok.append(bool(ok))
+        return pa.table({"target": pa.array(out_target), "ok": pa.array(out_ok)})
+
+    out = (
+        ds.map_batches(roundtrips, batch_format="pyarrow")
+        .groupby(["target", "ok"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return pa.Table.from_pylist(out.take_all())
+
+
+def csv_export_roundtrip(sf_dir: str):
+    """C4 distributed: union-of-keys two-phase CSV export of a projected
+    orders sample, reparsed with our CSV parser; returns shape+checksum
+    facts. Rows-only (export format is engine-defined)."""
+    from ..functions.csv_parser import parse_csv
+    from ..stages.csv_export import dataset_to_csv
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]).limit(2000)
+    text = dataset_to_csv(ds)
+    rows = parse_csv(text)
+    return pa.Table.from_pylist(
+        [
+            {
+                "n_rows": len(rows),
+                "n_cols": len(rows[0]) if rows else 0,
+                "total_price_sum": int(sum(r["o_totalprice"] for r in rows) * 100 // 1),
+            }
+        ]
+    )
+
+
+def media_features(sf_dir: str):
+    """Multimodal: media spans -> dedup assets -> actor-pool feature
+    extraction (decode stubbed deterministically). Rows-only."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    from ..stages.multimodal import extract_media_features
+    from ..synth import SynthConfig, ensure_dataset
+
+    d = ensure_dataset(SynthConfig(n_docs=2_000, n_partitions=4, seed=42))
+    spans = rd.read_parquet(sorted(_glob.glob(d + "/spans/*.parquet")))
+    feats = extract_media_features(spans, decoder="fake", batch_size=128, concurrency=2)
+    t = feats.to_pandas()
+    return pa.Table.from_pylist(
+        [
+            {
+                "n_assets": len(t),
+                "n_image": int((t["kind"] == "image").sum()),
+                "n_audio": int((t["kind"] == "audio").sum()),
+            }
+        ]
+    )
+
+
+def validate_spans_summary(sf_dir: str):
+    """Flagship pipeline as a query: per-check violation counts over the
+    deterministic synthetic spans table (the D11 top-k summary shape).
+    Rows-only (input is engine-synthesized)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    import pyarrow.parquet as _pq
+
+    from ..pipelines.validate import run_validation
+    from ..synth import SynthConfig, ensure_dataset
+
+    d = ensure_dataset(SynthConfig(n_docs=2_000, n_partitions=4, seed=42))
+    out = "/tmp/zparse_ray_query_validate"
+    _shutil.rmtree(out, ignore_errors=True)
+    run_validation(d, out, round_trip=True)
+    files = sorted(_glob.glob(out + "/violations/*.parquet"))
+    viols = _pq.read_table(files) if files else None
+    if viols is None or viols.num_rows == 0:
+        return pa.table({"check_id": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    df = viols.to_pandas().groupby("check_id").size().reset_index(name="n")
+    return pa.Table.from_pandas(df.sort_values("n", ascending=False), preserve_index=False)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -893,6 +1007,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "embedding_neardup_exact": embedding_neardup_exact,
         "embedding_neardup_lsh": embedding_neardup_lsh,
+        "convert_matrix": convert_matrix,
+        "csv_export_roundtrip": csv_export_roundtrip,
+        "media_features": media_features,
+        "validate_spans_summary": validate_spans_summary,
     }
 
 
