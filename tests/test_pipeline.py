@@ -141,3 +141,27 @@ def test_drift_detection(ray_session, tmp_path):
     _, verdicts2 = read_pipeline_outputs(out_drift)
     assert any("Drift" in v["checks_failed"] for v in verdicts2)
     assert any(not v["passed"] for v in verdicts2)
+
+
+def test_bloom_shard_uniqueness_fast_path(spans_dir, run_out):
+    # the D6 probabilistic prefilter + exact confirm must find exactly
+    # the true duplicate ids
+    import glob
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from zparse_ray.stages.uniqueness import bloom_candidate_dups, confirm_dups_exact
+
+    meta_files = sorted(glob.glob(os.path.join(OUT, "docmeta", "part-*.parquet")))
+    meta = rd.read_parquet(meta_files, columns=["doc_id"])
+    candidates = bloom_candidate_dups(meta, n_shards=4, capacity_per_shard=10_000)
+    confirmed = confirm_dups_exact(rd.read_parquet(meta_files, columns=["doc_id"]), candidates)
+
+    ids = pq.read_table(meta_files, columns=["doc_id"])["doc_id"].to_pylist()
+    vc = pd.Series(ids).value_counts()
+    truth = vc[vc > 1].to_dict()
+    assert confirmed == truth
+    assert set(truth) <= candidates  # no false negatives ever

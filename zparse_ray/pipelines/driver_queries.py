@@ -976,6 +976,109 @@ def validate_spans_summary(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# as-of join / window / percentile (streaming-shaped keyed operators)
+
+
+def events_asof_join(sf_dir: str):
+    """As-of join: each event joins the most recent strictly-prior
+    'click' of the same user (pd.merge_asof inside ts-sorted
+    groupby(user) groups — the documented partitioning assumption:
+    rows of one user are co-located by the groupby shuffle)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type", "value"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        clicks = g[g["event_type"] == "click"][["ts", "value"]].rename(
+            columns={"value": "click_value"}
+        )
+        if clicks.empty:
+            return pd.DataFrame({"event_type": [], "gap": []})
+        m = pd.merge_asof(
+            g[["ts", "event_type", "value"]],
+            clicks,
+            on="ts",
+            allow_exact_matches=False,
+            direction="backward",
+        )
+        m = m.dropna(subset=["click_value"])
+        return pd.DataFrame(
+            {"event_type": m["event_type"], "gap": m["value"] - m["click_value"]}
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(asof, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_matched"), Sum("gap", alias_name="sum_gap"))
+    )
+    return _scaled_int(pa.Table.from_pylist(out.take_all()), "sum_gap", 100)
+
+
+_ASOF_SQL = """
+SELECT e.event_type, COUNT(*) AS n_matched,
+       CAST(FLOOR(SUM(e.value - c.value) * 100 + 0.5) AS BIGINT) AS sum_gap
+FROM events e
+ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts > c.ts
+GROUP BY e.event_type
+"""
+
+
+def events_running_sum(sf_dir: str):
+    """Per-user running sum over event time (window function as
+    groupby(user).map_groups cumsum over ts-sorted groups)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        run = g["value"].cumsum()
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "event_id": g["event_id"],
+                "running_value": np.floor(run * 100 + 0.5).astype(np.int64),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    return pa.Table.from_pylist(out.take_all())
+
+
+_RUNNING_SQL = """
+SELECT user_id, event_id,
+       CAST(FLOOR(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) * 100 + 0.5) AS BIGINT)
+         AS running_value
+FROM events
+"""
+
+
+def median_value_by_type(sf_dir: str):
+    """Exact per-group median (interpolated) via map_groups — the exact
+    counterpart of tdigest_quantiles."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "median_value": [int(np.floor(np.median(g["value"]) * 100 + 0.5))],
+            }
+        )
+
+    out = ds.groupby("event_type").map_groups(med, batch_format="pandas")
+    return pa.Table.from_pylist(out.take_all())
+
+
+_MEDIAN_SQL = """
+SELECT event_type, CAST(FLOOR(MEDIAN(value) * 100 + 0.5) AS BIGINT) AS median_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -1011,6 +1114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_export_roundtrip": csv_export_roundtrip,
         "media_features": media_features,
         "validate_spans_summary": validate_spans_summary,
+        "events_asof_join": events_asof_join,
+        "events_running_sum": events_running_sum,
+        "median_value_by_type": median_value_by_type,
     }
 
 
@@ -1034,4 +1140,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _DEDUP_SQL,
         "ann_topk": _ANN_SQL,
         "embedding_neardup_exact": _NEARDUP_SQL,
+        "events_asof_join": _ASOF_SQL,
+        "events_running_sum": _RUNNING_SQL,
+        "median_value_by_type": _MEDIAN_SQL,
     }
