@@ -91,18 +91,19 @@ def _invalid(msg: str, offset: int = 0) -> ParseError:
 
 
 class _CsvParser:
-    __slots__ = ("text", "n", "delim")
+    __slots__ = ("text", "n", "delim", "unquoted_re")
 
     def __init__(self, text: str, delim: str):
         self.text = text
         self.n = len(text)
         self.delim = delim
+        self.unquoted_re = re.compile(f"[^{re.escape(delim)}\r\n]*")
 
     def parse_field(self, i: int) -> tuple[str, bool, int]:
         text, n, delim = self.text, self.n, self.delim
         if i >= n or text[i] == delim or text[i] in "\r\n":
             return "", False, i
-        if text[i] == '"':
+        if text[i] == '"':  # quoted field
             i += 1
             parts: list[str] = []
             while True:
@@ -120,10 +121,8 @@ class _CsvParser:
                 if i < n and text[i] != delim and text[i] not in "\r\n":
                     raise _invalid("invalid character after quoted CSV field", i)
                 return "".join(parts), True, i
-        start = i
-        while i < n and text[i] != delim and text[i] not in "\r\n":
-            i += 1
-        return text[start:i], False, i
+        m = self.unquoted_re.match(text, i)
+        return m.group(), False, m.end()
 
     def parse_record(self, i: int) -> tuple[list[tuple[str, bool]], int]:
         fields: list[tuple[str, bool]] = []

@@ -286,15 +286,61 @@ class _JsonParser:
             raise _err(EXPECTED, f"expected ',' or ']', found {c!r}", self.text, self.pos)
 
 
+import json as _cjson
+
+
+def _reject_constant(_s):
+    raise ValueError("non-finite constants rejected")
+
+
+_FAST_DECODER = _cjson.JSONDecoder(
+    parse_float=float, parse_int=float, parse_constant=_reject_constant
+)
+
+
+def _depth_guard(text: str, value, max_depth: int) -> bool:
+    """True iff value's depth is within max_depth. Cheap path: fewer
+    than max_depth container-opens in the text (C-speed str.count)
+    implies the depth bound can't be exceeded."""
+    if text.count("{") + text.count("[") <= max_depth:
+        return True
+    from ..value import depth_of
+
+    try:
+        return depth_of(value) <= max_depth
+    except RecursionError:
+        return False
+
+
 def parse_json(text: str, config: JsonConfig | None = None):
     """Parse a JSON/JSONC document to a Value; raise ParseError on the
     first grammar violation (reference contract: one document in, one
-    DOM or one structured error out)."""
+    DOM or one structured error out).
+
+    Fast path: for strict-mode documents with no escape sequences
+    (``\\`` absent — which also excludes the one semantic divergence,
+    CPython's acceptance of lone-surrogate ``\\uXXXX``), the C scanner
+    validates/builds the value (ints parsed as f64 per the reference's
+    number model, non-finite constants rejected, depth bound enforced).
+    Any fast-path failure falls back to the exact recursive-descent
+    parser for the precise check_id + position.
+    """
     cfg = config or JsonConfig()
     if len(text.encode("utf-8", "surrogatepass")) > cfg.max_size:
         raise ParseError(
             MAX_SIZE_EXCEEDED, f"maximum size exceeded: {cfg.max_size}", 0, 1, 1
         )
+    if not (cfg.allow_comments or cfg.allow_trailing_commas) and "\\" not in text:
+        try:
+            v = _FAST_DECODER.decode(text)
+        except (ValueError, RecursionError):
+            pass  # slow path classifies the error exactly
+        else:
+            if _depth_guard(text, v, cfg.max_depth):
+                return v
+            raise ParseError(
+                MAX_DEPTH_EXCEEDED, f"maximum depth exceeded: {cfg.max_depth}", 0, 1, 1
+            )
     p = _JsonParser(text, cfg)
     p.skip_ws()
     v = p.parse_value(0)

@@ -73,6 +73,23 @@ BAREKEY, STRING, NUMBER, BOOL, DATETIME = "key", "str", "num", "bool", "dt"
 
 _BARE = re.compile(r"[A-Za-z0-9_-]+")
 _NUMRUN = re.compile(r"[0-9_.eE:TZz+\-]*")
+
+# master scanner (ordering matters: multiline quotes before simple ones,
+# signed bare words before number runs — mirrors the per-char dispatch)
+_MASTER = re.compile(
+    r"(?P<ws>[ \t\r]+)"
+    r"|(?P<nl>\n)"
+    r"|(?P<comment>#[^\n]*)"
+    r'|(?P<sstr>"[^"\\\n]*")(?!")'
+    r"|(?P<slit>'[^'\n]*')(?!')"
+    r"|(?P<word>-?[A-Za-z_][A-Za-z0-9_-]*)"
+    r"|(?P<signspec>[+-](?:inf|nan))"
+    r"|(?P<num>[+-]?[0-9][0-9_.eE:TZz+\-]*)"
+    r"|(?P<punct>\[\[|\]\]|[][{}=,.])"
+    r'|(?P<dq>")'
+    r"|(?P<sq>')"
+)
+_PUNCT_KIND = {"[[": DLB, "]]": DRB, "[": LB, "]": RB, "{": LBRACE, "}": RBRACE, "=": EQ, ",": COMMA, ".": DOT}
 _ESCAPES = {'"': '"', "\\": "\\", "n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f"}
 
 _RFC3339 = re.compile(
@@ -164,75 +181,62 @@ class _TomlLexer:
         return ParseError(check_id, msg, offset, line, col)
 
     def tokens(self) -> list[tuple[str, object, int]]:
+        """Master-regex scanner: one compiled alternation classifies the
+        common tokens (simple strings, punctuation, bare words, number
+        runs) at C speed; escapes / multiline strings fall back to the
+        per-char lexers. Same token stream as the naive loop."""
         text, n = self.text, self.n
         out: list[tuple[str, object, int]] = []
+        append = out.append
         i = 0
-        while i < n:
-            c = text[i]
-            if c in " \t\r":
-                i += 1
+        for m in _MASTER.finditer(text):
+            if m.start() != i:
+                raise self.err(INVALID_TOKEN, "invalid token", i)
+            i = m.end()
+            kind = m.lastgroup
+            if kind == "ws":
                 continue
-            if c == "#":
-                j = text.find("\n", i)
-                if j < 0:
-                    break
-                i = j  # newline token emitted next iteration
-                continue
-            if c == "\n":
-                out.append((NL, None, i))
-                i += 1
-                continue
-            if c == "[":
-                if text.startswith("[[", i):
-                    out.append((DLB, None, i))
-                    i += 2
+            start = m.start()
+            if kind == "word":
+                w = m.group()
+                if w == "true":
+                    append((BOOL, True, start))
+                elif w == "false":
+                    append((BOOL, False, start))
                 else:
-                    out.append((LB, None, i))
-                    i += 1
-                continue
-            if c == "]":
-                if text.startswith("]]", i):
-                    out.append((DRB, None, i))
-                    i += 2
-                else:
-                    out.append((RB, None, i))
-                    i += 1
-                continue
-            if c in "{}=,.":
-                out.append(({"{": LBRACE, "}": RBRACE, "=": EQ, ",": COMMA, ".": DOT}[c], None, i))
-                i += 1
-                continue
-            if c == '"':
-                s, i = self.lex_basic(i)
-                out.append((STRING, s, i))
-                continue
-            if c == "'":
-                s, i = self.lex_literal(i)
-                out.append((STRING, s, i))
-                continue
-            if c == "-" and i + 1 < n and (text[i + 1].isalpha() or text[i + 1] in "_-"):
-                m = _BARE.match(text, i + 1)
-                out.append((BAREKEY, "-" + m.group(), i))
-                i = m.end()
-                continue
-            if c in "+-" or c.isdigit():
-                tok, i = self.lex_number_or_datetime(i)
-                out.append(tok)
-                continue
-            if c.isascii() and (c.isalpha() or c == "_"):
-                m = _BARE.match(text, i)
-                word = m.group()
-                if word == "true":
-                    out.append((BOOL, True, i))
-                elif word == "false":
-                    out.append((BOOL, False, i))
-                else:
-                    out.append((BAREKEY, word, i))
-                i = m.end()
-                continue
+                    append((BAREKEY, w, start))
+            elif kind == "sstr" or kind == "slit":
+                append((STRING, m.group()[1:-1], start))
+            elif kind == "num":
+                append(self.classify_number(m.group(), start))
+            elif kind == "signspec":
+                w = m.group()
+                v = float("inf") if w[1:] == "inf" else float("nan")
+                append((NUMBER, -v if w[0] == "-" else v, start))
+            elif kind == "punct":
+                append((_PUNCT_KIND[m.group()], None, start))
+            elif kind == "nl":
+                append((NL, None, start))
+            elif kind == "comment":
+                pass
+            elif kind == "dq":  # escaped/multiline basic string: re-scan
+                sv, i = self.lex_basic(start)
+                append((STRING, sv, start))
+                return out + self._resume(i)
+            elif kind == "sq":
+                sv, i = self.lex_literal(start)
+                append((STRING, sv, start))
+                return out + self._resume(i)
+        if i != n:
             raise self.err(INVALID_TOKEN, "invalid token", i)
-        out.append((EOF, None, n))
+        append((EOF, None, n))
         return out
+
+    def _resume(self, i: int) -> list[tuple[str, object, int]]:
+        """Continue tokenizing from offset i (after a fallback string
+        lex consumed past the regex stream position)."""
+        rest = _TomlLexer(self.text[i:]).tokens()
+        return [(k, v, off + i) for (k, v, off) in rest]
 
     def lex_basic(self, i: int) -> tuple[str, int]:
         text, n = self.text, self.n
@@ -306,41 +310,23 @@ class _TomlLexer:
             return chr(code), i + 1 + digits
         raise self.err(INVALID_ESCAPE, "invalid escape sequence", i)
 
-    def lex_number_or_datetime(self, i: int) -> tuple[tuple[str, object, int], int]:
-        text = self.text
-        start = i
-        if text[i] in "+-":
-            # signed inf/nan specials ('+inf' etc.); see parse_value_from
-            # for the unsigned forms
-            for word, val in (("inf", float("inf")), ("nan", float("nan"))):
-                if text.startswith(word, i + 1):
-                    v = -val if text[i] == "-" else val
-                    return (NUMBER, v, start), i + 1 + len(word)
-            i += 1
-        m = _NUMRUN.match(text, i)
-        i = m.end()
-        raw = text[start:i]
+    def classify_number(self, raw: str, start: int) -> tuple[str, object, int]:
+        """Classify a number/datetime charset run (lexer/toml.rs:424-528
+        semantics); signed inf/nan specials handled via the lone-sign
+        match followed by a word token -> see parse_value_from."""
         if _is_datetime_like(raw):
-            return (DATETIME, raw, start), i
+            return (DATETIME, raw, start)
         norm = raw.replace("_", "")
-        low = norm.lower() if norm[:1] in "+-" and len(norm) > 1 else norm
-        if low in ("inf", "+inf"):
-            return (NUMBER, float("inf"), start), i
-        if low == "-inf":
-            return (NUMBER, float("-inf"), start), i
-        if low in ("nan", "+nan", "-nan"):
-            return (NUMBER, float("nan"), start), i
-        if any(ch in norm for ch in ".eE"):
+        if "." in norm or "e" in norm or "E" in norm:
             try:
-                val = float(norm)
+                return (NUMBER, float(norm), start)
             except ValueError:
                 raise self.err(INVALID_NUMBER, "invalid number", start) from None
-            return (NUMBER, val, start), i
         sign = 1
         digits = norm
-        if digits.startswith("-"):
+        if digits[0] == "-":
             sign, digits = -1, digits[1:]
-        elif digits.startswith("+"):
+        elif digits[0] == "+":
             digits = digits[1:]
         # radix prefixes (0x/0o/0b) are dead code in the reference lexer —
         # its charset run stops at 'x'/'o'/'b' — so plain decimal here.
@@ -349,7 +335,7 @@ class _TomlLexer:
         val = int(digits)
         if val >= 2**63:
             raise self.err(INVALID_NUMBER, "invalid number", start)
-        return (NUMBER, float(sign * val), start), i
+        return (NUMBER, float(sign * val), start)
 
 
 class _TomlParser:

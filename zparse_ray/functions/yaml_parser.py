@@ -89,6 +89,10 @@ def parse_scalar_value(text: str):
 
 
 def _strip_comment(line: str) -> str:
+    if "#" not in line:
+        return line
+    if '"' not in line and "'" not in line:
+        return line[: line.index("#")]
     in_s = in_d = esc = False
     for i, ch in enumerate(line):
         if esc:
@@ -108,6 +112,11 @@ def _strip_comment(line: str) -> str:
 
 def _split_key_value(line: str):
     """First ':' outside quotes splits key / value; None if no colon."""
+    if ":" not in line:
+        return None
+    if '"' not in line and "'" not in line:
+        i = line.index(":")
+        return line[:i].strip(), line[i + 1 :].strip()
     in_s = in_d = esc = False
     for i, ch in enumerate(line):
         if esc:

@@ -1078,6 +1078,43 @@ FROM events GROUP BY event_type
 """
 
 
+def drift_check(sf_dir: str):
+    """D8 distribution drift: freeze a profile from a clean reference
+    run, validate a shifted dataset against it, return per-partition
+    KS/PSI verdicts. Rows-only (profile + thresholds engine-defined)."""
+    import shutil as _shutil
+
+    import pyarrow.parquet as _pq
+
+    from ..pipelines.validate import build_profile, run_validation
+    from ..synth import SynthConfig, ensure_dataset
+
+    clean = ensure_dataset(
+        SynthConfig(n_docs=1_200, n_partitions=3, seed=51,
+                    invalid_rate=0.0, dup_rate=0.0, dangling_rate=0.0, span_order_rate=0.0)
+    )
+    shifted = ensure_dataset(
+        SynthConfig(n_docs=1_200, n_partitions=3, seed=52, mean_spans=18,
+                    invalid_rate=0.0, dup_rate=0.0, dangling_rate=0.0, span_order_rate=0.0)
+    )
+    base = "/tmp/zparse_ray_query_drift"
+    _shutil.rmtree(base, ignore_errors=True)
+    run_validation(clean, base + "/ref")
+    prof = base + "/profile.json"
+    build_profile(base + "/ref", prof)
+    run_validation(shifted, base + "/shifted", drift_profile=prof)
+    v = _pq.read_table(base + "/shifted/verdicts.parquet")
+    import pyarrow.compute as _pc
+
+    return pa.table(
+        {
+            "partition_id": v["partition_id"],
+            "passed": v["passed"],
+            "drifted": _pc.match_substring(v["checks_failed"], "Drift"),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1117,6 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": events_asof_join,
         "events_running_sum": events_running_sum,
         "median_value_by_type": median_value_by_type,
+        "drift_check": drift_check,
     }
 
 
