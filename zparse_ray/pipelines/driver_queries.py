@@ -1115,6 +1115,65 @@ def drift_check(sf_dir: str):
     )
 
 
+def supplier_balance_by_nation(sf_dir: str):
+    """Broadcast dimension join over the supplier table + keyed agg."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nref = ray.put(nation)
+
+    def tag(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().merge(ray.get(nref), left_on="s_nationkey", right_on="n_nationkey")
+        return pa.Table.from_pandas(df[["n_name", "s_acctbal"]], preserve_index=False)
+
+    out = (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal"))
+    )
+    return _scaled_int(pa.Table.from_pylist(out.take_all()), "total_acctbal", 100)
+
+
+_SUPPLIER_SQL = """
+SELECT n_name, COUNT(*) AS n_suppliers,
+       CAST(FLOOR(SUM(s_acctbal) * 100 + 0.5) AS BIGINT) AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def bloom_uniqueness(sf_dir: str):
+    """D6 fast path as a query: Bloom-shard prefilter + exact confirm
+    over the synthetic table's docmeta; must equal the exact dup count.
+    Rows-only (engine-synthesized input)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    import ray.data as rd
+
+    from ..pipelines.validate import run_validation
+    from ..stages.uniqueness import bloom_candidate_dups, confirm_dups_exact
+    from ..synth import SynthConfig, ensure_dataset
+
+    d = ensure_dataset(SynthConfig(n_docs=2_000, n_partitions=4, seed=42))
+    out = "/tmp/zparse_ray_query_bloom"
+    _shutil.rmtree(out, ignore_errors=True)
+    run_validation(d, out)
+    files = sorted(_glob.glob(out + "/docmeta/*.parquet"))
+    cands = bloom_candidate_dups(
+        rd.read_parquet(files, columns=["doc_id"]), n_shards=4, capacity_per_shard=10_000
+    )
+    confirmed = confirm_dups_exact(rd.read_parquet(files, columns=["doc_id"]), cands)
+    return pa.Table.from_pylist(
+        [{"n_candidates": len(cands), "n_confirmed_dup_ids": len(confirmed)}]
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1155,6 +1214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_sum": events_running_sum,
         "median_value_by_type": median_value_by_type,
         "drift_check": drift_check,
+        "supplier_balance_by_nation": supplier_balance_by_nation,
+        "bloom_uniqueness": bloom_uniqueness,
     }
 
 
@@ -1181,4 +1242,5 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": _ASOF_SQL,
         "events_running_sum": _RUNNING_SQL,
         "median_value_by_type": _MEDIAN_SQL,
+        "supplier_balance_by_nation": _SUPPLIER_SQL,
     }
