@@ -165,3 +165,17 @@ def test_bloom_shard_uniqueness_fast_path(spans_dir, run_out):
     truth = vc[vc > 1].to_dict()
     assert confirmed == truth
     assert set(truth) <= candidates  # no false negatives ever
+
+
+def test_parity_with_multi_batch_partitions(ray_session, tmp_path):
+    # partitions larger than batch_size -> several sliced batches per
+    # partition file; parity must still hold (guards ListArray offset
+    # handling and multi-batch partial merging / commit accounting)
+    cfg = SynthConfig(n_docs=16_000, n_partitions=2, seed=13)
+    d = ensure_dataset(cfg)
+    out = str(tmp_path / "mb")
+    run_validation(d, out, round_trip=False, batch_size=2048)
+    o_viols, o_verdicts = oracle_validate(d, round_trip=False)
+    p_viols, p_verdicts = read_pipeline_outputs(out)
+    assert p_verdicts == o_verdicts
+    assert p_viols == o_viols

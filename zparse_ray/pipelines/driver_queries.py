@@ -1174,6 +1174,44 @@ def bloom_uniqueness(sf_dir: str):
     )
 
 
+def ann_ivf_topk(sf_dir: str):
+    """IVF-flat ANN (the second scale path besides LSH): k-means lists
+    from a driver sample, per-batch assignment, probe nearest lists.
+    Reports its own recall vs the exact brute-force top-10. Rows-only."""
+    import ray
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import TopKScorer, ivf_topk, merge_topk
+
+    q = np.asarray(
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        .filter(pc.equal(pc.field("vec_id"), 0))["embedding"][0]
+        .as_py(),
+        dtype=np.float64,
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    approx = ivf_topk(ds, q, n_list=16, n_probe=8, k=10)
+    qref = ray.put(q)
+    exact = merge_topk(
+        ds.map_batches(
+            TopKScorer, fn_constructor_kwargs={"query_ref": qref, "k": 10},
+            batch_format="pyarrow", concurrency=2,
+        ).take_all(),
+        10,
+    )
+    exact_ids = {r["vec_id"] for r in exact}
+    recall = len(exact_ids & {a for a, _ in approx}) / max(1, len(exact_ids))
+    return pa.Table.from_pylist(
+        [
+            {
+                "n_results": len(approx),
+                "recall_x100": int(round(recall * 100)),
+                "top1_correct": int(approx[0][0] == next(iter(sorted(exact, key=lambda r: -r["cosine_sim"])))["vec_id"]),
+            }
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1216,6 +1254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_check": drift_check,
         "supplier_balance_by_nation": supplier_balance_by_nation,
         "bloom_uniqueness": bloom_uniqueness,
+        "ann_ivf_topk": ann_ivf_topk,
     }
 
 

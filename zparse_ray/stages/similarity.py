@@ -115,3 +115,75 @@ def cosine_neardup_pairs(group, threshold: float = 0.95):
             "cosine_sim": sims[ii[mask], jj[mask]],
         }
     )
+
+
+class IvfIndex:
+    """IVF-flat index: k-means centroids from a driver-side sample,
+    vectors assigned to nearest centroid per batch (numpy matmul), query
+    probes the `n_probe` nearest lists only.
+
+    Scale path: the centroid matrix is tiny and broadcast; assignment is
+    one matmul per batch; the search reads only the probed lists —
+    at 10^12 scale the lists are parquet partitions keyed by centroid id
+    so a query touches n_probe/n_list of the data.
+    """
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = centroids / np.clip(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12, None
+        )
+
+    @classmethod
+    def train(cls, sample: np.ndarray, n_list: int = 16, n_iter: int = 10, seed: int = 0) -> "IvfIndex":
+        """Plain Lloyd's k-means on a unit-normalized sample."""
+        rng = np.random.default_rng(seed)
+        x = sample / np.clip(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12, None)
+        cent = x[rng.choice(len(x), size=min(n_list, len(x)), replace=False)]
+        for _ in range(n_iter):
+            assign = (x @ cent.T).argmax(axis=1)
+            for c in range(len(cent)):
+                members = x[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    cent[c] = v / max(np.linalg.norm(v), 1e-12)
+        return cls(cent)
+
+    def assign_batch(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch["embedding"])
+        mn = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+        lists = (mn @ self.centroids.T).argmax(axis=1)
+        return batch.append_column("ivf_list", pa.array(lists.astype(np.int64), pa.int64()))
+
+    def probe_lists(self, query: np.ndarray, n_probe: int = 4) -> np.ndarray:
+        q = query / max(np.linalg.norm(query), 1e-12)
+        sims = self.centroids @ q
+        return np.argsort(-sims)[:n_probe]
+
+
+def ivf_topk(ds, query: np.ndarray, *, n_list: int = 16, n_probe: int = 4, k: int = 10,
+             sample_size: int = 2048, seed: int = 0):
+    """End-to-end IVF search over a Dataset with an `embedding` column:
+    train on a driver sample -> assign lists per batch -> score only the
+    probed lists. Returns [(vec_id, cosine_sim)] best-first."""
+    import ray
+
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample_rows])
+    index = IvfIndex.train(sample, n_list=n_list, seed=seed)
+    probed = set(index.probe_lists(query, n_probe).tolist())
+    q_ref = ray.put(np.asarray(query, dtype=np.float64))
+
+    assigned = ds.map_batches(index.assign_batch, batch_format="pyarrow")
+    import pyarrow.compute as pc
+
+    probed_arr = pa.array(sorted(probed), pa.int64())
+    candidates = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t["ivf_list"], value_set=probed_arr)),
+        batch_format="pyarrow",
+    )
+    scored = candidates.map_batches(
+        TopKScorer, fn_constructor_kwargs={"query_ref": q_ref, "k": k},
+        batch_format="pyarrow", concurrency=2,
+    )
+    top = merge_topk(scored.take_all(), k)
+    return [(r["vec_id"], r["cosine_sim"]) for r in top]

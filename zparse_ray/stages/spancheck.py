@@ -172,6 +172,12 @@ class SpanValidator:
 
         list_offsets = spans.offsets.to_numpy()  # n+1
         sv = spans.values
+        if list_offsets[0] != 0 or len(sv) != list_offsets[-1]:
+            # sliced ListArray: values cover the whole parent buffer and
+            # offsets don't start at 0 — rebase so flat indices align
+            base = int(list_offsets[0])
+            sv = sv.slice(base, int(list_offsets[-1]) - base)
+            list_offsets = list_offsets - base
         kind_np = sv.field("kind").to_numpy(zero_copy_only=False)
         text_arr = sv.field("text")
         media_np = sv.field("media_ref").to_numpy(zero_copy_only=False)
