@@ -68,6 +68,7 @@ _INVALID_MENU = {
         ('"\\q"', "InvalidEscapeSequence"),
         ("01", "InvalidNumber"),
         ('{"a" 1}', "Expected"),
+        ("[" * 129 + "1" + "]" * 129, "MaxDepthExceeded"),
     ),
     "jsonc": (
         ('{"a": 1 /* oops', "InvalidToken"),
