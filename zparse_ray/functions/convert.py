@@ -33,13 +33,13 @@ import math
 import re
 from decimal import Decimal
 
-from ..value import DT_DATE, DT_LOCAL, DT_OFFSET, DT_TIME, TomlDatetime
+from ..value import DT_LOCAL, DT_OFFSET, DT_TIME, TomlDatetime
 from .csv_parser import CsvConfig, infer_primitive, parse_csv
 from .errors import INVALID_TOKEN, ParseError
 from .json_parser import JsonConfig, parse_json
-from .toml_parser import TomlConfig, parse_toml
-from .xml_parser import XmlConfig, XmlDocument, XmlElement, parse_xml
-from .yaml_parser import YamlConfig, parse_yaml
+from .toml_parser import parse_toml
+from .xml_parser import XmlDocument, XmlElement, parse_xml
+from .yaml_parser import parse_yaml
 
 FORMATS = ("json", "csv", "toml", "yaml", "xml")
 

@@ -15,7 +15,6 @@ low-cardinality distincts, sketches for the approximate variants.
 
 from __future__ import annotations
 
-import math
 import os
 from collections.abc import Callable
 from typing import Any

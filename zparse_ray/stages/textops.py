@@ -13,9 +13,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 # token = word chars incl. apostrophes, or a single non-space symbol —
 # a BPE-ish pre-tokenizer split (public GPT-2 pretokenizer flavor)
