@@ -58,16 +58,15 @@ def _headline(sf_dir: str, n_cpus: int) -> dict:
             while fh.read(1 << 22):
                 pass
 
-    # warm the worker pool (untimed): spin up worker processes and import
-    # the engine in each, so the timed run measures steady-state
-    # throughput rather than one-time process startup
-    def _warm(batch):
-        import zparse_ray.stages.spancheck  # noqa: F401
-        return batch
-
-    rd.range(n_cpus * 2, override_num_blocks=n_cpus * 2).map_batches(
-        _warm, batch_size=None
-    ).materialize()
+    # warm the worker pool (untimed) with a REAL mini validation run:
+    # spins up workers, imports the engine, initializes the parquet
+    # reader / plasma / zstd paths — the first pipeline run in a fresh
+    # session otherwise pays ~2.5x in lazy init
+    warm_cfg = SynthConfig(n_docs=max(4_000, n_cpus * 500), n_partitions=n_cpus * 2)
+    warm_dir = ensure_dataset(warm_cfg)
+    warm_out = f"/tmp/zparse_ray_bench_warm_{n_cpus}"
+    shutil.rmtree(warm_out, ignore_errors=True)
+    run_validation(warm_dir, warm_out, round_trip=False, resume=False)
 
     out_dir = f"/tmp/zparse_ray_bench_out_{n_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -331,6 +331,24 @@ class SpanValidator:
         os.replace(tmp, path)
 
 
+_GC_TUNED = False
+
+
+def _tune_gc_once() -> None:
+    """Per-worker-process GC tuning: freeze the post-import baseline and
+    raise the gen-0 threshold — the grammar walk allocates millions of
+    short-lived objects and default thresholds trigger collections that
+    thrash caches under full-machine concurrency."""
+    global _GC_TUNED
+    if not _GC_TUNED:
+        import gc
+
+        gc.collect()
+        gc.freeze()
+        gc.set_threshold(100_000, 50, 50)
+        _GC_TUNED = True
+
+
 def validate_task(
     batch: pa.Table,
     *,
@@ -348,6 +366,7 @@ def validate_task(
     O(1). Tasks scale elastically and skip actor-pool spin-up — ~2x
     faster end-to-end than the actor form for this stage.
     """
+    _tune_gc_once()
     v = SpanValidator(
         assets_ref=assets_ref,
         out_dir=out_dir,
