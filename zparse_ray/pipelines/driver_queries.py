@@ -1211,6 +1211,36 @@ def ann_ivf_topk(sf_dir: str):
     )
 
 
+def value_stats_by_type(sf_dir: str):
+    """Keyed aggregate incl. sample standard deviation (Ray Std vs
+    DuckDB STDDEV_SAMP)."""
+    from ray.data.aggregate import Count, Max, Min, Std
+
+    out = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+            Std("value", alias_name="std_value"),
+        )
+    )
+    t = pa.Table.from_pylist(out.take_all())
+    t = _scaled_int(t, "min_value", 100)
+    t = _scaled_int(t, "max_value", 100)
+    return _scaled_int(t, "std_value", 10_000)
+
+
+_STDDEV_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(FLOOR(MIN(value) * 100 + 0.5) AS BIGINT) AS min_value,
+       CAST(FLOOR(MAX(value) * 100 + 0.5) AS BIGINT) AS max_value,
+       CAST(FLOOR(STDDEV_SAMP(value) * 10000 + 0.5) AS BIGINT) AS std_value
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1254,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_by_nation": supplier_balance_by_nation,
         "bloom_uniqueness": bloom_uniqueness,
         "ann_ivf_topk": ann_ivf_topk,
+        "value_stats_by_type": value_stats_by_type,
     }
 
 
@@ -1281,4 +1312,5 @@ def oracle_sql() -> dict[str, str]:
         "events_running_sum": _RUNNING_SQL,
         "median_value_by_type": _MEDIAN_SQL,
         "supplier_balance_by_nation": _SUPPLIER_SQL,
+        "value_stats_by_type": _STDDEV_SQL,
     }
