@@ -179,3 +179,20 @@ def test_parity_with_multi_batch_partitions(ray_session, tmp_path):
     p_viols, p_verdicts = read_pipeline_outputs(out)
     assert p_verdicts == o_verdicts
     assert p_viols == o_viols
+
+
+def test_quarantine_sink(spans_dir, tmp_path):
+    import glob
+
+    out = str(tmp_path / "quarantine_run")
+    run_validation(spans_dir, out, round_trip=False, quarantine=True)
+    qfiles = sorted(glob.glob(out + "/quarantine/part-*.parquet"))
+    assert qfiles
+    import pyarrow.compute as pc
+
+    q = pq.read_table(qfiles)
+    meta = pq.read_table(sorted(glob.glob(out + "/docmeta/part-*.parquet")))
+    n_bad_docs = len(meta.filter(pc.greater(meta["n_violations"], 0)))
+    # quarantined rows = docs with at least one non-dup violation
+    assert q.num_rows == n_bad_docs
+    assert set(q.schema.names) == {"doc_id", "spans", "partition_id"}

@@ -94,6 +94,7 @@ def run_validation(
     max_broadcast_dups: int = 2_000_000,
     dup_driver_threshold: int = 20_000_000,
     batch_size: int | None = 4096,
+    quarantine: bool = False,
 ) -> dict:
     """Run the full validation job; returns a summary dict. Requires a
     live Ray session (never calls ray.init itself)."""
@@ -144,6 +145,7 @@ def run_validation(
                 "assets_ref": assets_ref,
                 "out_dir": out_dir,
                 "round_trip": round_trip,
+                "quarantine": quarantine,
             },
             # 4096-doc batches keep each worker's working set cache-sized
             # (~25% faster at full concurrency than whole-block batches);

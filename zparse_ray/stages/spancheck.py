@@ -145,6 +145,7 @@ class SpanValidator:
         round_trip: bool = False,
         max_span_bytes: int = DEFAULT_MAX_SPAN_BYTES,
         assets_sorted: bool = False,
+        quarantine: bool = False,
     ):
         # broadcast key set: ray.put once on the driver, ray.get here
         # (zero-copy plasma read — never re-shipped per batch)
@@ -158,9 +159,12 @@ class SpanValidator:
         self.round_trip = round_trip
         self.max_span_bytes = max_span_bytes
         self.valid_kinds = frozenset(SPAN_KINDS)
+        self.quarantine = quarantine
         if out_dir:
             os.makedirs(os.path.join(out_dir, "violations"), exist_ok=True)
             os.makedirs(os.path.join(out_dir, "docmeta"), exist_ok=True)
+            if quarantine:
+                os.makedirs(os.path.join(out_dir, "quarantine"), exist_ok=True)
 
     # -- core ------------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -321,6 +325,19 @@ class SpanValidator:
                 self._atomic_write(
                     dm, os.path.join(self.out_dir, "docmeta", f"part-{pid:05d}-{tag}.parquet")
                 )
+                if self.quarantine:
+                    # quarantine sink: keep the FULL failing rows so a
+                    # cleanup pipeline can inspect/repair them; clean
+                    # rows flow on untouched (failing docs are the rare
+                    # case, so this writes little)
+                    qmask = rmask & (viol_count_per_row > 0)
+                    if qmask.any():
+                        self._atomic_write(
+                            batch.filter(pa.array(qmask)),
+                            os.path.join(
+                                self.out_dir, "quarantine", f"part-{pid:05d}-{tag}.parquet"
+                            ),
+                        )
 
         return pa.Table.from_pylist(partial_rows, schema=PARTIALS_SCHEMA)
 
@@ -356,6 +373,7 @@ def validate_task(
     out_dir: str | None = None,
     round_trip: bool = False,
     max_span_bytes: int = DEFAULT_MAX_SPAN_BYTES,
+    quarantine: bool = False,
 ) -> pa.Table:
     """Plain-function form for ``map_batches(validate_task,
     fn_kwargs=...)`` — stateless Ray tasks instead of an actor pool.
@@ -373,5 +391,6 @@ def validate_task(
         round_trip=round_trip,
         max_span_bytes=max_span_bytes,
         assets_sorted=True,
+        quarantine=quarantine,
     )
     return v(batch)

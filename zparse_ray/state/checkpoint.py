@@ -47,7 +47,7 @@ def clean_stale_outputs(out_dir: str, uncommitted: set[int]) -> int:
     """Delete partial outputs of partitions that never committed
     (leftovers of a killed run)."""
     removed = 0
-    for sub in ("violations", "docmeta", "partials"):
+    for sub in ("violations", "docmeta", "partials", "quarantine"):
         d = os.path.join(out_dir, sub)
         if not os.path.isdir(d):
             continue
