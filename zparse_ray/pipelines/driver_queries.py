@@ -1241,6 +1241,44 @@ FROM events GROUP BY event_type
 """
 
 
+def events_sliding_window(sf_dir: str):
+    """Sliding window (60-min window, 15-min slide): each event lands in
+    4 windows — vectorized flat-map to (window_start, value) rows, then
+    a keyed aggregate. Exact integer bucket math on epoch-microseconds
+    keeps both engines bit-identical."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        es_us = t["ts"].cast(pa.int64()).to_numpy()
+        bucket = es_us // 900_000_000  # 15-min buckets
+        vals = t["value"].to_numpy()
+        ws = np.concatenate([(bucket - k) * 900 for k in range(4)])
+        vv = np.tile(vals, 4)
+        return pa.table(
+            {"window_start": pa.array(ws, pa.int64()), "value": pa.array(vv, pa.float64())}
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return _scaled_int(pa.Table.from_pylist(out.take_all()), "sum_value", 100)
+
+
+_SLIDING_SQL = """
+WITH e4 AS (
+  SELECT ((epoch_us(ts) // 900000000) - k) * 900 AS window_start, value
+  FROM events, (SELECT UNNEST([0, 1, 2, 3]) AS k) ks
+)
+SELECT window_start, COUNT(*) AS n_events,
+       CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_value
+FROM e4 GROUP BY window_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1285,6 +1323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_uniqueness": bloom_uniqueness,
         "ann_ivf_topk": ann_ivf_topk,
         "value_stats_by_type": value_stats_by_type,
+        "events_sliding_window": events_sliding_window,
     }
 
 
@@ -1313,4 +1352,5 @@ def oracle_sql() -> dict[str, str]:
         "median_value_by_type": _MEDIAN_SQL,
         "supplier_balance_by_nation": _SUPPLIER_SQL,
         "value_stats_by_type": _STDDEV_SQL,
+        "events_sliding_window": _SLIDING_SQL,
     }
