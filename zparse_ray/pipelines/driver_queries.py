@@ -1251,21 +1251,40 @@ def events_sliding_window(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "value"])
 
     def explode(t: pa.Table) -> pa.Table:
+        # drop null values up front (DuckDB SUM/COUNT(*) over the oracle's
+        # cross join counts rows but skips null in SUM; our events data has
+        # no null ts/value, and nulls would poison numpy sums otherwise)
+        t = t.drop_null()
         es_us = t["ts"].cast(pa.int64()).to_numpy()
-        bucket = es_us // 900_000_000  # 15-min buckets
+        # truncation-toward-zero division to match DuckDB's `//` on
+        # negative epochs (numpy // floors; differs for pre-1970 ts)
+        q = np.abs(es_us) // 900_000_000
+        bucket = np.where(es_us < 0, -q, q)
         vals = t["value"].to_numpy()
-        ws = np.concatenate([(bucket - k) * 900 for k in range(4)])
-        vv = np.tile(vals, 4)
+        # pre-aggregate per bucket INSIDE the batch (partial-aggregation
+        # convention): at most 4 rows per distinct window leave the task
+        # instead of 4 rows per event
+        uniq, inv = np.unique(bucket, return_inverse=True)
+        cnt = np.bincount(inv)
+        sm = np.bincount(inv, weights=vals)
+        ws = np.concatenate([(uniq - k) * 900 for k in range(4)])
         return pa.table(
-            {"window_start": pa.array(ws, pa.int64()), "value": pa.array(vv, pa.float64())}
+            {
+                "window_start": pa.array(ws, pa.int64()),
+                "n_partial": pa.array(np.tile(cnt, 4), pa.int64()),
+                "sum_partial": pa.array(np.tile(sm, 4), pa.float64()),
+            }
         )
 
     out = (
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby("window_start")
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("n_partial", alias_name="n_events"), Sum("sum_partial", alias_name="sum_value"))
     )
-    return _scaled_int(pa.Table.from_pylist(out.take_all()), "sum_value", 100)
+    t = pa.Table.from_pylist(out.take_all())
+    i = t.schema.get_field_index("n_events")
+    t = t.set_column(i, "n_events", t["n_events"].cast(pa.int64()))
+    return _scaled_int(t, "sum_value", 100)
 
 
 _SLIDING_SQL = """
