@@ -63,3 +63,27 @@ def test_convert_output_file(tmp_path):
     code, _, _ = run_cli(["convert", "--from", "csv", "--to", "json", "--output", str(outp)], "a\n1\n")
     assert code == 0
     assert outp.read_text() == '[{"a":1}]'
+
+
+def test_cli_validate_subprocess(ray_session, tmp_path):
+    # the validate subcommand end-to-end in a real subprocess (owns its
+    # own Ray session per the CLI contract)
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from zparse_ray.synth import SynthConfig, ensure_dataset
+
+    d = ensure_dataset(SynthConfig(n_docs=400, n_partitions=2, seed=61))
+    out = str(tmp_path / "cli_out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "zparse_ray.run", "validate", "--input", d,
+         "--output", out, "--num-cpus", "2"],
+        cwd=repo, capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["n_docs"] == 400
+    assert os.path.exists(os.path.join(out, "verdicts.parquet"))
