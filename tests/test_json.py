@@ -161,3 +161,23 @@ def test_jsonc_unterminated_block_comment():
 
 def test_strict_json_rejects_comments():
     assert err_id(parse_json, '{"a": 1} // c') == "Expected"
+
+
+def test_depth_limit_reports_opener_position():
+    # reference: max_depth error is reported at the container OPENER
+    # (json_parser_tests.rs test_depth_limit_reports_opener_position);
+    # applies to the exact parser (docs with escapes skip the fast path)
+    cfg = JsonConfig(max_depth=2)
+    with pytest.raises(ParseError) as ei:
+        parse_json('{"a\\t": [[1]]}', cfg)
+    assert ei.value.check_id == "MaxDepthExceeded"
+    assert ei.value.offset == 9  # the second '[' that exceeds the limit
+
+
+def test_size_limit_counts_comment_bytes():
+    # comments count toward max_size (reference checks bytes_parsed per
+    # token; we check the whole input — same observable outcome)
+    cfg = JsonConfig(max_size=10, allow_comments=True, allow_trailing_commas=True)
+    with pytest.raises(ParseError) as ei:
+        parse_json("/* a long comment */ 1", cfg)
+    assert ei.value.check_id == "MaxSizeExceeded"
