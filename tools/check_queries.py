@@ -81,7 +81,9 @@ def main() -> int:
             failed.append(name)
             continue
         try:
-            pd.testing.assert_frame_equal(mine, oracle, check_dtype=False, rtol=0, atol=1e-9)
+            # check_dtype=True: the driver hashes typed values, so an
+            # int64-vs-decimal128 drift must FAIL here too (ADVICE r1).
+            pd.testing.assert_frame_equal(mine, oracle, check_dtype=True, rtol=0, atol=1e-9)
             print(f"PASS {name} ({len(mine)} rows) [{dt:.1f}s]")
         except AssertionError as e:
             print(f"FAIL {name}: values differ [{dt:.1f}s]")

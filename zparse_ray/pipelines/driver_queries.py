@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -242,7 +243,13 @@ def sort_limit_top_lineitems(sf_dir: str):
     top = ds.sort(
         ["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False]
     ).limit(20)
-    return pa.Table.from_pylist(top.take_all())
+    # keep the parquet physical types (l_linenumber is int32) rather than
+    # from_pylist's int64 inference so dtype-strict compare matches DuckDB
+    schema = pq.read_schema(os.path.join(sf_dir, "lineitem.parquet"))
+    out_schema = pa.schema(
+        [schema.field(n) for n in ["l_orderkey", "l_linenumber", "l_extendedprice"]]
+    )
+    return pa.Table.from_pylist(top.take_all(), schema=out_schema)
 
 
 _SORTLIMIT_SQL = """
@@ -431,7 +438,7 @@ def events_props_extract(sf_dir: str):
 
 _PROPS_SQL = """
 SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-       COUNT(*) AS n, SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+       COUNT(*) AS n, CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY 1
 """
 
@@ -549,8 +556,8 @@ def token_counts(sf_dir: str):
 
 _TOKENS_SQL = """
 SELECT lang,
-       SUM(CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_tokens,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
        COUNT(*) AS n_docs
 FROM documents GROUP BY lang
 """
@@ -582,7 +589,7 @@ def quality_stats(sf_dir: str):
 
 _QUALITY_SQL = """
 SELECT source, COUNT(*) AS n_docs, CAST(FLOOR(AVG(n_chars) * 10000 + 0.5) AS BIGINT) AS avg_chars,
-       SUM(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS n_long
+       CAST(SUM(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
 FROM documents GROUP BY source
 """
 

@@ -195,6 +195,7 @@ def run_validation(
     n_dup_rows = 0
     if meta_files:
         total_meta = sum(pq.ParquetFile(f).metadata.num_rows for f in meta_files)
+        sel = None
         if total_meta <= dup_driver_threshold:
             occ = pq.read_table(meta_files, columns=["partition_id", "doc_id"])
             vc = pc.value_counts(occ["doc_id"].combine_chunks())
@@ -202,7 +203,17 @@ def run_validation(
             dup_vals = vc.field("values").filter(dup_mask)
             dup_counts = vc.field("counts").filter(dup_mask)
             dup_count_of = dict(zip(dup_vals.to_pylist(), dup_counts.to_pylist()))
+            if dup_count_of:
+                sel = occ.filter(
+                    pc.is_in(occ["doc_id"], value_set=pa.array(list(dup_count_of), pa.string()))
+                )
         else:
+            # Distributed path (the 10^12-doc branch): groupby(doc_id)
+            # count keeps only the SMALL dup-id set on the driver; the
+            # occurrence rows are then filtered INSIDE map_batches with
+            # the dup-id set broadcast via ray.put — the full docmeta
+            # never lands on the driver (only the matching dup rows do,
+            # bounded by max_broadcast_dups occurrences).
             import ray.data as rd
 
             meta = rd.read_parquet(meta_files, columns=["partition_id", "doc_id"])
@@ -214,11 +225,34 @@ def run_validation(
             if len(dup_rows) > max_broadcast_dups:
                 raise RuntimeError("dup set too large for broadcast path; use bucket join")
             dup_count_of = {r["doc_id"]: r[cnt_col] for r in dup_rows}
-            occ = pq.read_table(meta_files, columns=["partition_id", "doc_id"])
-        if dup_count_of:
-            sel = occ.filter(
-                pc.is_in(occ["doc_id"], value_set=pa.array(list(dup_count_of), pa.string()))
-            )
+            if sum(dup_count_of.values()) > max_broadcast_dups:
+                raise RuntimeError(
+                    "dup occurrence count too large for driver emission; use bucket join"
+                )
+            if dup_count_of:
+                dup_set_ref = ray.put(pa.array(sorted(dup_count_of), pa.string()))
+
+                def _filter_dup_occurrences(t: pa.Table, *, dup_ref) -> pa.Table:
+                    vs = ray.get(dup_ref)  # zero-copy plasma read per task
+                    return t.filter(pc.is_in(t["doc_id"], value_set=vs))
+
+                filtered = rd.read_parquet(
+                    meta_files, columns=["partition_id", "doc_id"]
+                ).map_batches(
+                    _filter_dup_occurrences,
+                    fn_kwargs={"dup_ref": dup_set_ref},
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                tbls = [t for t in ray.get(filtered.to_arrow_refs()) if t.num_rows]
+                sel = (
+                    pa.concat_tables(
+                        [t.select(["partition_id", "doc_id"]) for t in tbls]
+                    )
+                    if tbls
+                    else None
+                )
+        if sel is not None and sel.num_rows:
             sel = sel.sort_by([("partition_id", "ascending"), ("doc_id", "ascending")])
             n = sel.num_rows
             sel_ids = sel["doc_id"].to_pylist()
