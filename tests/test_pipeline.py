@@ -222,3 +222,52 @@ def test_quarantine_sink(spans_dir, tmp_path):
     # quarantined rows = docs with at least one non-dup violation
     assert q.num_rows == n_bad_docs
     assert set(q.schema.names) == {"doc_id", "spans", "partition_id"}
+
+
+def test_xml_round_trip_clean_and_detected(monkeypatch):
+    # D2 for XML: clean docs (incl. comment-split text and entities) pass;
+    # a corrupted reserialization is caught as RoundTrip.
+    import numpy as np
+
+    import zparse_ray.stages.spancheck as S
+
+    kinds = np.array(["xml", "xml", "xml"], dtype=object)
+    texts = np.array(
+        [
+            "<a>x<!--c-->y</a>",                       # comment splits the text node
+            '<r a="1&amp;2"><b/><b>t</b>  </r>',       # entities, repeats, ws-only text
+            "<root><v>1</v><v>2</v></root>",
+        ],
+        dtype=object,
+    )
+    idxs = np.arange(3)
+    assert S.validate_payloads(kinds, texts, idxs, round_trip=True) == []
+
+    def corrupt(doc):
+        return "<zzz/>"
+
+    monkeypatch.setattr(S, "serialize_xml", corrupt)
+    out = S.validate_payloads(kinds, texts, idxs, round_trip=True)
+    assert len(out) == 3
+    assert all(c == "RoundTrip" for _, c, _ in out)
+
+
+def test_parser_config_max_depth_plumbed(ray_session, tmp_path):
+    # Per-run parser configs (reference Config guards as job parameters):
+    # a lowered max_depth must surface MaxDepthExceeded violations through
+    # the distributed pipeline AND stay in parity with the oracle.
+    from zparse_ray.stages.spancheck import build_parser_configs
+
+    clean_cfg = SynthConfig(
+        n_docs=400, n_partitions=2, seed=11,
+        invalid_rate=0.0, dup_rate=0.0, dangling_rate=0.0, span_order_rate=0.0,
+    )
+    d = ensure_dataset(clean_cfg)
+    cfgs = build_parser_configs(max_depth=1)
+    out = str(tmp_path / "depth1")
+    run_validation(d, out, parser_configs=cfgs)
+    viols, verdicts = read_pipeline_outputs(out)
+    assert any(v["check_id"] == "MaxDepthExceeded" for v in viols)
+    o_viols, o_verdicts = oracle_validate(d, parser_configs=cfgs)
+    assert viols == o_viols
+    assert verdicts == o_verdicts

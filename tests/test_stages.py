@@ -208,3 +208,48 @@ def test_column_stats_partial_merge():
     assert m["x"]["min"] == 1.0
     assert m["x"]["max"] == 10.0
     assert m["x"]["sum"] == 13.0
+
+
+# -- hot-bucket cap --------------------------------------------------------
+
+def test_cosine_neardup_hot_bucket_capped():
+    # a degenerate LSH bucket of identical vectors must be truncated at
+    # the cap so pair emission stays O(cap^2), not O(n^2)
+    import pandas as pd
+
+    from zparse_ray.stages.similarity import cosine_neardup_pairs
+
+    n, cap = 2000, 64
+    g = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [np.ones(8) for _ in range(n)],
+        }
+    )
+    out = cosine_neardup_pairs(g, threshold=0.9, cap=cap)
+    assert len(out) == cap * (cap - 1) // 2
+    assert out["a"].max() < cap and out["b"].max() < cap  # deterministic: lowest ids kept
+
+
+# -- exact distributed quantiles -------------------------------------------
+
+def test_exact_quantiles_match_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from zparse_ray.stages.stats import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    # lognormal + heavy duplicate mass to stress both tails and ties
+    vals = np.concatenate(
+        [rng.lognormal(3, 1.5, 20_000), np.full(5_000, 42.0), rng.integers(0, 50, 5_000)]
+    ).astype(np.float64)
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    ds = rd.from_arrow(pa.table({"x": vals}))
+    # max_collect=100 forces several histogram refinement levels
+    got = exact_quantiles(ds, "x", qs, n_bins=32, max_collect=100)
+    con = duckdb.connect()
+    con.register("t", pa.table({"x": vals}))
+    expect = con.execute(f"SELECT quantile_disc(x, {qs}) FROM t").fetchone()[0]
+    for q, e in zip(qs, expect):
+        assert got[q] == e, (q, got[q], e)

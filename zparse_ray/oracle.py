@@ -29,7 +29,9 @@ from .functions.convert import (
     serialize_csv,
     serialize_json,
     serialize_toml,
+    serialize_xml,
     serialize_yaml,
+    xml_to_value,
 )
 from .schema import GRAMMAR_KINDS, MEDIA_KINDS, SPAN_KINDS
 from .value import values_equal
@@ -56,6 +58,7 @@ def oracle_validate(
     *,
     round_trip: bool = False,
     max_span_bytes: int = 10 * 1024 * 1024,
+    parser_configs: dict | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Returns (violations, verdicts) as sorted lists of dicts."""
     assets: set[str] = set()
@@ -99,12 +102,27 @@ def oracle_validate(
                     if assets and (ref == "" or ref not in assets):
                         doc_viols.append((si, E.REF_INTEGRITY, f"media_ref={ref!r}", off))
                 elif kind in GRAMMAR_KINDS and not too_big:
+                    cfg = (parser_configs or {}).get(kind)
                     try:
-                        value = _PARSE[kind](text)
+                        value = _PARSE[kind](text, cfg) if cfg is not None else _PARSE[kind](text)
                     except ParseError as e:
                         doc_viols.append((si, e.check_id, e.message, off))
                         continue
-                    if round_trip and kind != "xml":
+                    if round_trip and kind == "xml":
+                        # value-level XML round-trip (text runs merged by
+                        # xml_to_value; same invariant as the pipeline)
+                        try:
+                            back = parse_xml(serialize_xml(value))
+                        except ParseError as e:
+                            doc_viols.append(
+                                (si, E.ROUND_TRIP, f"reparse failed: {e.check_id}", off)
+                            )
+                            continue
+                        if not values_equal(xml_to_value(back), xml_to_value(value)):
+                            doc_viols.append(
+                                (si, E.ROUND_TRIP, "value mismatch after round-trip", off)
+                            )
+                    elif round_trip:
                         try:
                             back = _PARSE[kind](_SER[kind](value))
                         except ParseError as e:

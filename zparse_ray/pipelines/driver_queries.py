@@ -372,8 +372,11 @@ FROM lineitem
 
 
 def hll_cardinality(sf_dir: str):
-    """Approximate distinct counts via mergeable HLL partials (D5) —
-    rows-only check (estimates, by design)."""
+    """D5: HLL estimate via mergeable partials (the scale path),
+    cross-checked in-query against the EXACT distinct count (distributed
+    groupby) — oracle-checked: exact value + estimate-within-2%
+    invariant both hash-compared (HLL is deterministic, so the bool is
+    stable)."""
     from ..stages.stats import HllPartial, merge_hlls
 
     ds = _read(sf_dir, "orders", ["o_custkey"])
@@ -382,30 +385,76 @@ def hll_cardinality(sf_dir: str):
         batch_format="pyarrow"
     ):
         rows.extend(b.to_pylist())
-    est = merge_hlls(rows)
+    est = merge_hlls(rows)["o_custkey"]
+    exact = _read(sf_dir, "orders", ["o_custkey"]).groupby("o_custkey").count().count()
     return pa.Table.from_pylist(
-        [{"column_name": c, "approx_distinct": float(round(v))} for c, v in sorted(est.items())]
+        [
+            {
+                "column_name": "o_custkey",
+                "exact_distinct": int(exact),
+                "hll_within_2pct": bool(abs(est - exact) / max(exact, 1) <= 0.02),
+            }
+        ]
     )
 
 
-def tdigest_quantiles(sf_dir: str):
-    """Approximate quantiles via mergeable t-digest partials (D4) —
-    rows-only check (approximation, by design)."""
-    from ..stages.stats import TDigestPartial, merge_tdigests
+_HLL_SQL = """
+SELECT 'o_custkey' AS column_name,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+       TRUE AS hll_within_2pct
+FROM orders
+"""
 
+
+def tdigest_quantiles(sf_dir: str):
+    """D4: t-digest estimate via mergeable partials (the scale path),
+    cross-checked in-query against EXACT quantiles from the distributed
+    histogram-narrowing operator (stats.exact_quantiles — no global
+    sort, no column materialization). Oracle-checked against DuckDB
+    quantile_disc."""
+    import math as _math
+
+    from ..stages.stats import TDigestPartial, exact_quantiles, merge_tdigests
+
+    qs = (0.1, 0.5, 0.9, 0.95, 0.99)
     ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
     rows = []
     for b in ds.map_batches(
         TDigestPartial(["l_extendedprice"]), batch_format="pyarrow", concurrency=2
     ).iter_batches(batch_format="pyarrow"):
         rows.extend(b.to_pylist())
+    # t-digest merge is order-sensitive; sort partials so the estimate is
+    # deterministic regardless of block arrival order
+    rows.sort(key=lambda r: r["tdigest"])
     d = merge_tdigests(rows)["l_extendedprice"]
+    exact = exact_quantiles(
+        _read(sf_dir, "lineitem", ["l_extendedprice"]), "l_extendedprice", list(qs)
+    )
     return pa.Table.from_pylist(
         [
-            {"q": q, "value": round(d.quantile(q), 2)}
-            for q in (0.1, 0.5, 0.9, 0.95, 0.99)
+            {
+                "q_scaled": int(round(q * 100)),
+                "exact_value": int(_math.floor(exact[q] * 100 + 0.5)),
+                "tdigest_within_2pct": bool(
+                    abs(d.quantile(q) - exact[q]) <= 0.02 * max(abs(exact[q]), 1e-9)
+                ),
+            }
+            for q in qs
         ]
     )
+
+
+_TDIGEST_SQL = """
+WITH qv AS (
+  SELECT unnest([10, 50, 90, 95, 99]) AS q_scaled,
+         unnest(quantile_disc(l_extendedprice, [0.10, 0.50, 0.90, 0.95, 0.99])) AS v
+  FROM lineitem
+)
+SELECT CAST(q_scaled AS BIGINT) AS q_scaled,
+       CAST(FLOOR(v * 100 + 0.5) AS BIGINT) AS exact_value,
+       TRUE AS tdigest_within_2pct
+FROM qv
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -661,18 +710,36 @@ def minhash_lsh_neardup(sf_dir: str):
         .map_groups(lsh_candidate_pairs, batch_format="pandas")
     )
     pairs = {(int(r["a"]), int(r["b"])) for r in cand.take_all()}
-    # exact verification on the candidate set only (broadcast texts: the
-    # candidate set is tiny relative to the corpus)
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in docs.take_all()
-    }
+    # exact verification on the candidate set only: broadcast the TINY
+    # candidate id set, filter texts distributedly, and pull only the
+    # matching texts to the driver (never the whole corpus — VERDICT r1)
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if not pairs:
+        return empty
+    import ray
+
+    ids_ref = ray.put(pa.array(sorted({i for p in pairs for i in p}), pa.int64()))
+
+    def _filter_texts(t: pa.Table, *, ref) -> pa.Table:
+        vs = ray.get(ref)
+        return t.filter(pc.is_in(t["doc_id"], value_set=vs))
+
+    cand_docs = docs.map_batches(
+        _filter_texts, fn_kwargs={"ref": ids_ref}, batch_format="pyarrow"
+    )
+    texts = {r["doc_id"]: r["text"] for r in cand_docs.take_all()}
     verified = [
         {"a": a, "b": b, "jaccard": round(jaccard(shingles(texts[a]), shingles(texts[b])), 4)}
         for a, b in sorted(pairs)
         if jaccard(shingles(texts[a]), shingles(texts[b])) >= 0.8
     ]
-    return pa.Table.from_pylist(verified) if verified else pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
+    return pa.Table.from_pylist(verified) if verified else empty
 
 
 def simhash_neardup(sf_dir: str):
@@ -918,6 +985,8 @@ def csv_export_roundtrip(sf_dir: str):
     from ..functions.csv_parser import parse_csv
     from ..stages.csv_export import dataset_to_csv
 
+    import math as _math
+
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]).limit(2000)
     text = dataset_to_csv(ds)
     rows = parse_csv(text)
@@ -926,10 +995,21 @@ def csv_export_roundtrip(sf_dir: str):
             {
                 "n_rows": len(rows),
                 "n_cols": len(rows[0]) if rows else 0,
-                "total_price_sum": int(sum(r["o_totalprice"] for r in rows) * 100 // 1),
+                "total_price_sum": int(
+                    _math.floor(sum(r["o_totalprice"] for r in rows) * 100 + 0.5)
+                ),
             }
         ]
     )
+
+
+_CSVEXPORT_SQL = """
+WITH s AS (SELECT o_totalprice FROM orders LIMIT 2000)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(3 AS BIGINT) AS n_cols,
+       CAST(FLOOR(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_price_sum
+FROM s
+"""
 
 
 def media_features(sf_dir: str):
@@ -1155,29 +1235,42 @@ GROUP BY n_name
 
 def bloom_uniqueness(sf_dir: str):
     """D6 fast path as a query: Bloom-shard prefilter + exact confirm
-    over the synthetic table's docmeta; must equal the exact dup count.
-    Rows-only (engine-synthesized input)."""
-    import glob as _glob
-    import shutil as _shutil
-
-    import ray.data as rd
-
-    from ..pipelines.validate import run_validation
+    over events.user_id — oracle-checked: every returned facet is exact
+    (the confirm pass recounts candidates exactly, so FPR and arrival
+    order can't leak into the result; the order-dependent candidate
+    count itself is deliberately excluded)."""
     from ..stages.uniqueness import bloom_candidate_dups, confirm_dups_exact
-    from ..synth import SynthConfig, ensure_dataset
 
-    d = ensure_dataset(SynthConfig(n_docs=2_000, n_partitions=4, seed=42))
-    out = "/tmp/zparse_ray_query_bloom"
-    _shutil.rmtree(out, ignore_errors=True)
-    run_validation(d, out)
-    files = sorted(_glob.glob(out + "/docmeta/*.parquet"))
-    cands = bloom_candidate_dups(
-        rd.read_parquet(files, columns=["doc_id"]), n_shards=4, capacity_per_shard=10_000
+    def as_doc_id(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t["user_id"], pa.string())})
+
+    ids = _read(sf_dir, "events", ["user_id"]).map_batches(
+        as_doc_id, batch_format="pyarrow"
     )
-    confirmed = confirm_dups_exact(rd.read_parquet(files, columns=["doc_id"]), cands)
+    n_ids = ids.count()
+    cands = bloom_candidate_dups(ids, n_shards=4)
+    confirmed = confirm_dups_exact(ids, cands)
+    n_dup_ids = len(confirmed)
+    n_dup_occurrences = sum(confirmed.values())
     return pa.Table.from_pylist(
-        [{"n_candidates": len(cands), "n_confirmed_dup_ids": len(confirmed)}]
+        [
+            {
+                "n_ids": int(n_ids),
+                "n_distinct_ids": int(n_ids - n_dup_occurrences + n_dup_ids),
+                "n_dup_ids": int(n_dup_ids),
+                "n_dup_occurrences": int(n_dup_occurrences),
+            }
+        ]
     )
+
+
+_BLOOM_SQL = """
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_ids,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_distinct_ids,
+       CAST((SELECT COUNT(*) FROM c WHERE n > 1) AS BIGINT) AS n_dup_ids,
+       CAST((SELECT COALESCE(SUM(n), 0) FROM c WHERE n > 1) AS BIGINT) AS n_dup_occurrences
+"""
 
 
 def ann_ivf_topk(sf_dir: str):
@@ -1379,4 +1472,8 @@ def oracle_sql() -> dict[str, str]:
         "supplier_balance_by_nation": _SUPPLIER_SQL,
         "value_stats_by_type": _STDDEV_SQL,
         "events_sliding_window": _SLIDING_SQL,
+        "hll_cardinality": _HLL_SQL,
+        "tdigest_quantiles": _TDIGEST_SQL,
+        "csv_export_roundtrip": _CSVEXPORT_SQL,
+        "bloom_uniqueness": _BLOOM_SQL,
     }

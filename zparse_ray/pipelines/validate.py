@@ -95,6 +95,8 @@ def run_validation(
     dup_driver_threshold: int = 20_000_000,
     batch_size: int | None = 4096,
     quarantine: bool = False,
+    max_span_bytes: int | None = None,
+    parser_configs: dict | None = None,
 ) -> dict:
     """Run the full validation job; returns a summary dict. Requires a
     live Ray session (never calls ray.init itself)."""
@@ -136,7 +138,7 @@ def run_validation(
             )
             assets_ref = ray.put(assets)
 
-        from ..stages.spancheck import validate_task
+        from ..stages.spancheck import DEFAULT_MAX_SPAN_BYTES, validate_task
 
         ds = rd.read_parquet(todo, override_num_blocks=len(todo))
         partials_ds = ds.map_batches(
@@ -146,6 +148,10 @@ def run_validation(
                 "out_dir": out_dir,
                 "round_trip": round_trip,
                 "quarantine": quarantine,
+                "max_span_bytes": max_span_bytes
+                if max_span_bytes is not None
+                else DEFAULT_MAX_SPAN_BYTES,
+                "parser_configs": parser_configs,
             },
             # 4096-doc batches keep each worker's working set cache-sized
             # (~25% faster at full concurrency than whole-block batches);

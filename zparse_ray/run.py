@@ -46,6 +46,28 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--drift-profile", default=None)
     v.add_argument("--no-resume", action="store_true")
     v.add_argument("--num-cpus", type=int, default=None)
+    v.add_argument(
+        "--max-depth",
+        type=int,
+        default=None,
+        help="per-format parser depth limit (reference Config.max_depth, default 128)",
+    )
+    v.add_argument(
+        "--max-span-bytes",
+        type=int,
+        default=None,
+        help="per-span byte limit (reference Config.max_size, default 10 MiB)",
+    )
+    v.add_argument(
+        "--allow-comments",
+        action="store_true",
+        help="treat json spans permissively (JSONC comments + trailing commas)",
+    )
+    v.add_argument(
+        "--csv-delimiter",
+        default=None,
+        help="CSV field delimiter for csv spans (default ',')",
+    )
 
     s = sub.add_parser("synth", help="generate a synthetic spans dataset")
     s.add_argument("--docs", type=int, default=100_000)
@@ -116,13 +138,21 @@ def main(argv: list[str] | None = None) -> int:
             print(ensure_dataset(cfg, args.out_base))
             return 0
         from .pipelines.validate import run_validation
+        from .stages.spancheck import build_parser_configs
 
+        parser_configs = build_parser_configs(
+            max_depth=args.max_depth,
+            allow_comments=args.allow_comments,
+            csv_delimiter=args.csv_delimiter,
+        )
         res = run_validation(
             args.input,
             args.output,
             round_trip=args.round_trip,
             resume=not args.no_resume,
             drift_profile=args.drift_profile,
+            max_span_bytes=args.max_span_bytes,
+            parser_configs=parser_configs,
         )
         print(json.dumps(res))
         return 0

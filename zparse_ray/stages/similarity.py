@@ -93,14 +93,21 @@ class HyperplaneLsh:
         return batch.append_column("lsh_bucket", pa.array(bucket.astype(np.int64), pa.int64()))
 
 
-def cosine_neardup_pairs(group, threshold: float = 0.95):
+def cosine_neardup_pairs(group, threshold: float = 0.95, cap: int = 512):
     """map_groups body over an LSH bucket: exact cosine over the bucket's
-    vectors; emits (a, b, cosine_sim) pairs above threshold."""
+    vectors; emits (a, b, cosine_sim) pairs above threshold. Pathological
+    hot buckets are truncated at `cap` ids (O(cap^2) bound per task —
+    same guard as dedup.lsh_candidate_pairs; VERDICT r1 #5) so one
+    degenerate bucket can't produce 10^10 pairs in a single task."""
     import pandas as pd
 
     ids = group["vec_id"].to_numpy()
     if len(ids) < 2:
         return pd.DataFrame({"a": [], "b": [], "cosine_sim": []})
+    if len(ids) > cap:
+        order = np.argsort(ids)[:cap]  # deterministic truncation
+        group = group.iloc[order]
+        ids = group["vec_id"].to_numpy()
     m = np.stack(group["embedding"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

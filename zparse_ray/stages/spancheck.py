@@ -46,7 +46,9 @@ from ..functions.convert import (
     serialize_csv,
     serialize_json,
     serialize_toml,
+    serialize_xml,
     serialize_yaml,
+    xml_to_value,
 )
 from ..functions.csv_parser import parse_csv
 from ..functions.errors import ParseError
@@ -107,23 +109,43 @@ def validate_payloads(
     texts: np.ndarray,
     idxs: np.ndarray,
     round_trip: bool,
+    parser_configs: dict | None = None,
 ):
     """Grammar walk over the selected spans; yields (flat_idx, check_id,
-    detail). Shared by the distributed stage and the single-process
-    oracle so semantics can never diverge."""
+    detail). ``parser_configs`` maps kind -> per-format Config object
+    (JsonConfig/TomlConfig/... — the reference's resource-limit guards,
+    json/parser.rs:14-23, csv/parser.rs:8-11, exposed per job per
+    SURVEY §1.2)."""
+    cfgs = parser_configs or {}
     out = []
     for i in idxs:
         kind = kinds[i]
         parse = _PARSERS[kind]
+        cfg = cfgs.get(kind)
         try:
-            value = parse(texts[i])
+            value = parse(texts[i], cfg) if cfg is not None else parse(texts[i])
         except ParseError as e:
             out.append((i, e.check_id, e.message))
             continue
         except RecursionError:
             out.append((i, E.MAX_DEPTH_EXCEEDED, "recursion limit"))
             continue
-        if round_trip and kind != "xml":
+        if round_trip:
+            if kind == "xml":
+                # D2 for XML (ref convert.rs:492-659 semantics): reserialize
+                # the parsed document, reparse, and compare at the VALUE
+                # level (xml_to_value merges contiguous text runs, so a
+                # comment splitting a text node — which the doc model keeps
+                # as two str children — doesn't false-positive; whitespace-
+                # only text is dropped by the parser on both legs).
+                try:
+                    back = parse(serialize_xml(value))
+                except ParseError as e:
+                    out.append((i, E.ROUND_TRIP, f"reparse failed: {e.check_id}"))
+                    continue
+                if not values_equal(xml_to_value(back), xml_to_value(value)):
+                    out.append((i, E.ROUND_TRIP, "value mismatch after round-trip"))
+                continue
             ser = _SERIALIZERS[kind]
             try:
                 back = parse(ser(value))
@@ -133,6 +155,42 @@ def validate_payloads(
             if not values_equal(back, value):
                 out.append((i, E.ROUND_TRIP, "value mismatch after round-trip"))
     return out
+
+
+def build_parser_configs(
+    *,
+    max_depth: int | None = None,
+    allow_comments: bool = False,
+    csv_delimiter: str | None = None,
+) -> dict | None:
+    """Job-level helper: build the kind -> Config map from the common
+    per-run knobs (reference Config guards as constraint PARAMETERS,
+    SURVEY §1.2). Returns None when everything is default."""
+    if max_depth is None and not allow_comments and csv_delimiter is None:
+        return None
+    from ..functions.csv_parser import CsvConfig
+    from ..functions.json_parser import JsonConfig
+    from ..functions.toml_parser import TomlConfig
+    from ..functions.yaml_parser import YamlConfig
+
+    cfgs: dict = {}
+    jkw = {}
+    if max_depth is not None:
+        jkw["max_depth"] = max_depth
+    if allow_comments:
+        jkw["allow_comments"] = True
+        jkw["allow_trailing_commas"] = True
+    if jkw:
+        cfgs["json"] = JsonConfig(**jkw)
+        cfgs["jsonc"] = JsonConfig(
+            **{**jkw, "allow_comments": True, "allow_trailing_commas": True}
+        )
+    if max_depth is not None:
+        cfgs["toml"] = TomlConfig(max_depth=max_depth)
+        cfgs["yaml"] = YamlConfig(max_depth=max_depth)
+    if csv_delimiter is not None:
+        cfgs["csv"] = CsvConfig(delimiter=csv_delimiter)
+    return cfgs
 
 
 class SpanValidator:
@@ -146,6 +204,7 @@ class SpanValidator:
         max_span_bytes: int = DEFAULT_MAX_SPAN_BYTES,
         assets_sorted: bool = False,
         quarantine: bool = False,
+        parser_configs: dict | None = None,
     ):
         # broadcast key set: ray.put once on the driver, ray.get here
         # (zero-copy plasma read — never re-shipped per batch)
@@ -160,6 +219,7 @@ class SpanValidator:
         self.max_span_bytes = max_span_bytes
         self.valid_kinds = frozenset(SPAN_KINDS)
         self.quarantine = quarantine
+        self.parser_configs = parser_configs
         if out_dir:
             os.makedirs(os.path.join(out_dir, "violations"), exist_ok=True)
             os.makedirs(os.path.join(out_dir, "docmeta"), exist_ok=True)
@@ -240,7 +300,7 @@ class SpanValidator:
         if len(gram_idx):
             texts_np = text_arr.to_numpy(zero_copy_only=False)
             for i, check_id, detail in validate_payloads(
-                kind_np, texts_np, gram_idx, self.round_trip
+                kind_np, texts_np, gram_idx, self.round_trip, self.parser_configs
             ):
                 violations.append((int(i), int(row_of[i]), check_id, detail))
 
@@ -374,6 +434,7 @@ def validate_task(
     round_trip: bool = False,
     max_span_bytes: int = DEFAULT_MAX_SPAN_BYTES,
     quarantine: bool = False,
+    parser_configs: dict | None = None,
 ) -> pa.Table:
     """Plain-function form for ``map_batches(validate_task,
     fn_kwargs=...)`` — stateless Ray tasks instead of an actor pool.
@@ -392,5 +453,6 @@ def validate_task(
         max_span_bytes=max_span_bytes,
         assets_sorted=True,
         quarantine=quarantine,
+        parser_configs=parser_configs,
     )
     return v(batch)

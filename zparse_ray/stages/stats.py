@@ -108,3 +108,133 @@ def merge_tdigests(rows: list[dict]) -> dict[str, TDigest]:
         d = TDigest.from_bytes(r["tdigest"])
         merged[r["column"]] = merged[r["column"]].merge(d) if r["column"] in merged else d
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles (D4's exact complement)
+
+
+def _sel_mask(v: np.ndarray, lo: float, hi: float, closed: bool) -> np.ndarray:
+    """Membership mask for a candidate interval: [lo, hi) half-open, or
+    [lo, hi] when the interval inherits the global-max closed edge."""
+    return (v >= lo) & ((v < hi) | (closed & (v <= hi)))
+
+
+def _hist_pass(ds, column: str, intervals: list[tuple[float, float, bool]], n_bins: int):
+    """One map_batches pass: per-block histograms for every active
+    interval at once (n_intervals x n_bins ints per block — tiny).
+    Values are pre-filtered to the interval with its exact closedness so
+    np.histogram's closed-last-bin quirk can't count v == hi into a
+    half-open interval."""
+    edges = [np.linspace(lo, hi, n_bins + 1) for lo, hi, _ in intervals]
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        rows = []
+        for qi, ((lo, hi, closed), e) in enumerate(zip(intervals, edges)):
+            sel = v[_sel_mask(v, lo, hi, closed)]
+            counts, _ = np.histogram(sel, bins=e)
+            rows.append({"qi": qi, "counts": counts.astype(np.int64)})
+        return pa.Table.from_pylist(rows)
+
+    merged = [np.zeros(n_bins, dtype=np.int64) for _ in intervals]
+    for b in ds.map_batches(hist, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            merged[r["qi"]] += np.asarray(r["counts"], dtype=np.int64)
+    return merged, edges
+
+
+def exact_quantiles(
+    ds,
+    column: str,
+    qs: list[float],
+    *,
+    n_bins: int = 1024,
+    max_collect: int = 1_000_000,
+) -> dict[float, float]:
+    """Exact quantiles without materializing the column: iterative
+    histogram narrowing (each pass shrinks every quantile's candidate
+    interval by n_bins x) until the interval holds <= max_collect values,
+    then one filtered collect + rank select. O(log_bins(n)) passes over
+    the data, O(n_bins * len(qs)) driver state — scales to arbitrarily
+    large columns, unlike a global sort.
+
+    Rank convention matches DuckDB's quantile_disc: 0-based index
+    ceil(q*n) - 1 of the ascending-sorted column (nulls/NaN dropped).
+    """
+    import math
+
+    def cmm(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pa.Table.from_pylist([])
+        return pa.Table.from_pylist(
+            [{"n": len(v), "lo": float(v.min()), "hi": float(v.max())}]
+        )
+
+    n, glo, ghi = 0, math.inf, -math.inf
+    for b in ds.map_batches(cmm, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            n += r["n"]
+            glo, ghi = min(glo, r["lo"]), max(ghi, r["hi"])
+    if n == 0:
+        return {q: float("nan") for q in qs}
+
+    # state per quantile: interval [lo, hi] (closed flag), rank within
+    # it (0-based), count inside it
+    state = {q: [glo, ghi, True, max(0, math.ceil(q * n) - 1), n] for q in qs}
+    out: dict[float, float] = {}
+
+    while True:
+        active = [q for q in qs if q not in out and state[q][4] > max_collect]
+        if not active:
+            break
+        intervals = [(state[q][0], state[q][1], state[q][2]) for q in active]
+        merged, edges = _hist_pass(ds, column, intervals, n_bins)
+        for qi, q in enumerate(active):
+            lo, hi, closed, r, _ = state[q]
+            counts, e = merged[qi], edges[qi]
+            if hi <= lo or (hi - lo) < 1e-300:
+                out[q] = lo
+                continue
+            cum = np.cumsum(counts)
+            j = int(np.searchsorted(cum, r + 1))
+            before = int(cum[j - 1]) if j > 0 else 0
+            nlo, nhi = float(e[j]), float(e[j + 1])
+            if nhi <= nlo:
+                out[q] = nlo
+                continue
+            # child inherits closedness only as the LAST bin of a closed parent
+            state[q] = [nlo, nhi, closed and j == n_bins - 1, r - before, int(counts[j])]
+
+    rest = [q for q in qs if q not in out]
+    if rest:
+        ivs = [(state[q][0], state[q][1], state[q][2]) for q in rest]
+
+        def collect(batch: pa.Table) -> pa.Table:
+            v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            rows = []
+            for qi, (lo, hi, closed) in enumerate(ivs):
+                sel = v[_sel_mask(v, lo, hi, closed)]
+                if len(sel):
+                    rows.append({"qi": qi, "vals": sel})
+            if not rows:
+                return pa.table(
+                    {"qi": pa.array([], pa.int64()),
+                     "vals": pa.array([], pa.list_(pa.float64()))}
+                )
+            return pa.Table.from_pylist(rows)
+
+        pools: dict[int, list] = {i: [] for i in range(len(rest))}
+        for b in ds.map_batches(collect, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for r in b.to_pylist():
+                pools[r["qi"]].append(np.asarray(r["vals"], dtype=np.float64))
+        for qi, q in enumerate(rest):
+            vals = np.sort(np.concatenate(pools[qi])) if pools[qi] else np.array([state[q][0]])
+            out[q] = float(vals[min(state[q][3], len(vals) - 1)])
+    return out

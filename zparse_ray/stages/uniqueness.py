@@ -8,11 +8,16 @@ is heavy; the probabilistic prefilter cuts it to the candidate set:
     1% FPR); this is genuinely shared mutable state across batches, the
     one shape Dataset API can't express — hence raw `@ray.remote`
     actors (SURVEY §2.4 D6, §7.3)
-  - id batches route by hash(doc_id) % N so each id always meets the
-    same shard; `check_and_add` returns ids already seen (true dups +
-    FPR false positives)
-  - the candidate set is then confirmed EXACTLY (groupby on candidates
-    only — a shuffle of |dups| + FPR·|ids| rows instead of |ids|)
+  - routing happens INSIDE `map_batches` tasks that hold the shard
+    actor handles — ids never stream through the driver (VERDICT r1
+    flagged the old driver-side `iter_batches` loop as the bottleneck
+    at 10^12 ids); each id always routes to the same shard via
+    hash(doc_id) % N, and actor calls serialize per shard, so a dup
+    split across two concurrent batches is still seen by whichever
+    call lands second
+  - the candidate set is then confirmed EXACTLY (a distributed filter
+    + groupby on candidates only — a shuffle of |dups| + FPR·|ids|
+    rows instead of |ids|)
 
 Determinism note: candidates depend on arrival order inside a shard but
 the CONFIRMED result never does — confirmation recounts exactly.
@@ -21,6 +26,8 @@ the CONFIRMED result never does — confirmation recounts exactly.
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.sketches import BloomFilter, hash64
 
@@ -61,6 +68,25 @@ def make_shard_actor():
     return BloomShard
 
 
+def _route_batch(batch: pa.Table, *, shards, n_shards: int) -> pa.Table:
+    """Worker-side router: split the batch's ids by shard hash, probe the
+    shard actors, and emit only the candidate hits (tiny output)."""
+    import ray
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    if not len(ids):
+        return pa.table({"doc_id": pa.array([], pa.string())})
+    shard_idx = _shard_of(ids, n_shards)
+    refs = []
+    for si in range(n_shards):
+        part = ids[shard_idx == si]
+        if len(part):
+            refs.append(shards[si].check_and_add.remote(part))
+    hit_arrays = [a for a in ray.get(refs) if len(a)]
+    hits = np.concatenate(hit_arrays) if hit_arrays else np.array([], dtype=object)
+    return pa.table({"doc_id": pa.array(hits.tolist(), pa.string())})
+
+
 def bloom_candidate_dups(
     meta_ds,
     *,
@@ -69,45 +95,53 @@ def bloom_candidate_dups(
     fpr: float = 0.01,
     batch_size: int = 65_536,
 ) -> set:
-    """Stream doc_ids through the shard actors; returns the candidate
-    duplicate id set (superset of true duplicates)."""
+    """Probe doc_ids against the shard actors from inside map_batches
+    tasks; returns the candidate duplicate id set (superset of true
+    duplicates). Only candidate hits reach the driver."""
     import ray
 
     BloomShard = make_shard_actor()
     shards = [BloomShard.remote(capacity_per_shard, fpr) for _ in range(n_shards)]
-    pending = []
-    candidates: set = set()
-    for batch in meta_ds.iter_batches(batch_size=batch_size, batch_format="pyarrow"):
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        shard_idx = _shard_of(ids, n_shards)
-        for si in range(n_shards):
-            part = ids[shard_idx == si]
-            if len(part):
-                pending.append(shards[si].check_and_add.remote(part))
-        # drain periodically to bound in-flight work
-        if len(pending) > 4 * n_shards:
-            done, pending = pending[: 2 * n_shards], pending[2 * n_shards :]
-            for arr in ray.get(done):
-                candidates.update(arr.tolist())
-    for arr in ray.get(pending):
-        candidates.update(arr.tolist())
+    cand_ds = meta_ds.map_batches(
+        _route_batch,
+        fn_kwargs={"shards": shards, "n_shards": n_shards},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    candidates = {r["doc_id"] for r in cand_ds.take_all()}
     for s in shards:
         ray.kill(s)
     return candidates
 
 
 def confirm_dups_exact(meta_ds, candidates: set) -> dict[str, int]:
-    """Exact confirmation pass: count occurrences of candidate ids only;
-    returns {doc_id: count>1}. The scan is a cheap vectorized filter —
-    no full shuffle."""
-    import pandas as pd
+    """Exact confirmation pass: broadcast the candidate set, filter ids
+    distributedly, then a groupby over ONLY the matching rows; returns
+    {doc_id: count>1}. Nothing but candidate occurrences shuffles or
+    reaches the driver."""
+    import ray
 
-    counts: dict[str, int] = {}
     if not candidates:
-        return counts
-    for batch in meta_ds.iter_batches(batch_size=262_144, batch_format="pyarrow"):
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        mask = pd.Series(ids).isin(candidates).to_numpy()
-        for i in ids[mask]:
-            counts[i] = counts.get(i, 0) + 1
-    return {k: v for k, v in counts.items() if v > 1}
+        return {}
+    cand_ref = ray.put(pa.array(sorted(candidates), pa.string()))
+
+    def _filter(t: pa.Table, *, ref) -> pa.Table:
+        vs = ray.get(ref)  # zero-copy plasma read per task
+        return t.select(["doc_id"]).filter(pc.is_in(t["doc_id"], value_set=vs))
+
+    counts = (
+        meta_ds.map_batches(
+            _filter,
+            fn_kwargs={"ref": cand_ref},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("doc_id")
+        .count()
+    )
+    rows = counts.take_all()
+    if not rows:
+        return {}
+    cnt_col = next(c for c in rows[0] if c != "doc_id")
+    return {r["doc_id"]: r[cnt_col] for r in rows if r[cnt_col] > 1}
