@@ -253,3 +253,40 @@ def test_exact_quantiles_match_duckdb(ray_session):
     expect = con.execute(f"SELECT quantile_disc(x, {qs}) FROM t").fetchone()[0]
     for q, e in zip(qs, expect):
         assert got[q] == e, (q, got[q], e)
+
+
+# -- persisted IVF index ---------------------------------------------------
+
+def test_ivf_persisted_probe_reads_subset(ray_session, tmp_path):
+    import ray.data as rd
+
+    from zparse_ray.stages.similarity import (
+        build_ivf_index,
+        ivf_probe_paths,
+        ivf_topk_persisted,
+    )
+
+    rng = np.random.default_rng(5)
+    n, dim = 4000, 16
+    emb = rng.standard_normal((n, dim))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(t)
+    idx_dir = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx_dir, n_list=8, seed=1)
+    q = emb[7]
+    paths = ivf_probe_paths(idx_dir, q, n_probe=2)
+    import glob
+    total = glob.glob(idx_dir + "/ivf_list=*")
+    assert 0 < len(paths) < len(total)  # strict subset of the index files
+
+    top = ivf_topk_persisted(idx_dir, q, n_probe=2, k=5)
+    assert len(top) == 5
+    assert top[0][0] == 7  # the vector itself is its own nearest neighbor
+    # probing more lists can only improve similarity of the kth result
+    top_all = ivf_topk_persisted(idx_dir, q, n_probe=8, k=5)
+    assert top_all[-1][1] >= top[-1][1] - 1e-12

@@ -29,7 +29,15 @@ import pyarrow.parquet as pq
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    # the driver's test parquet carries pandas schema metadata that makes
+    # pa.Schema unhashable, so every block triggers Ray's schema-dedup
+    # warning in the workers; passing an explicit metadata-stripped schema
+    # removes the condition at the read (and still prunes columns).
+    schema = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=schema)
 
 
 def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
@@ -832,14 +840,17 @@ def ann_topk(sf_dir: str):
     q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).filter(
         pc.equal(pc.field("vec_id"), 0)
     )["embedding"][0].as_py()
-    q_ref = ray.put(np.asarray(q, dtype=np.float64))
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     partials = ds.map_batches(
         TopKScorer,
-        fn_constructor_kwargs={"query_ref": q_ref, "k": 10},
+        # a single query vector is tiny: ship it by VALUE in the
+        # constructor kwargs (an ObjectRef here trips Ray's actor-restart
+        # warning, issue 53727; ray.put broadcast is for large matrices)
+        fn_constructor_kwargs={"query_ref": np.asarray(q, dtype=np.float64), "k": 10},
         batch_format="pyarrow",
         concurrency=2,
+        max_restarts=0,
     )
     rows = partials.take_all()
     # order by (rounded sim desc, vec_id) in BOTH engines so float-ulp
@@ -1274,13 +1285,21 @@ SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_ids,
 
 
 def ann_ivf_topk(sf_dir: str):
-    """IVF-flat ANN (the second scale path besides LSH): k-means lists
-    from a driver sample, per-batch assignment, probe nearest lists.
-    Reports its own recall vs the exact brute-force top-10. Rows-only."""
-    import ray
+    """IVF-flat ANN via the PERSISTED index layout: build once (lists as
+    centroid-keyed parquet partitions), then the probe reads ONLY the
+    probed partitions — a strict subset of the index files. Reports its
+    own recall vs the exact brute-force top-10. Rows-only."""
+    import glob as _glob
+
     import pyarrow.parquet as pq
 
-    from ..stages.similarity import TopKScorer, ivf_topk, merge_topk
+    from ..stages.similarity import (
+        TopKScorer,
+        build_ivf_index,
+        ivf_probe_paths,
+        ivf_topk_persisted,
+        merge_topk,
+    )
 
     q = np.asarray(
         pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
@@ -1289,12 +1308,16 @@ def ann_ivf_topk(sf_dir: str):
         dtype=np.float64,
     )
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    approx = ivf_topk(ds, q, n_list=16, n_probe=8, k=10)
-    qref = ray.put(q)
+    index_dir = "/tmp/zparse_ray_query_ivf"
+    build_ivf_index(ds, index_dir, n_list=16, seed=0)
+    n_lists_total = len(_glob.glob(index_dir + "/ivf_list=*"))
+    probe = ivf_probe_paths(index_dir, q, n_probe=8)
+    approx = ivf_topk_persisted(index_dir, q, n_probe=8, k=10)
     exact = merge_topk(
         ds.map_batches(
-            TopKScorer, fn_constructor_kwargs={"query_ref": qref, "k": 10},
+            TopKScorer, fn_constructor_kwargs={"query_ref": q, "k": 10},
             batch_format="pyarrow", concurrency=2,
+            max_restarts=0,
         ).take_all(),
         10,
     )
@@ -1306,6 +1329,7 @@ def ann_ivf_topk(sf_dir: str):
                 "n_results": len(approx),
                 "recall_x100": int(round(recall * 100)),
                 "top1_correct": int(approx[0][0] == next(iter(sorted(exact, key=lambda r: -r["cosine_sim"])))["vec_id"]),
+                "probe_is_strict_subset": int(0 < len(probe) < n_lists_total),
             }
         ]
     )
