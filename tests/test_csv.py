@@ -131,3 +131,16 @@ def test_i64_overflow_to_float():
 
 def test_max_size():
     assert err_id("a\n" + "x" * 100 + "\n", config=CsvConfig(max_size=10)) == "MaxSizeExceeded"
+
+
+def test_unterminated_with_escaped_quotes_stays_unterminated():
+    # regression: the quoted-field regex must not backtrack `""` into a
+    # shorter field + junk error — this doc is UNTERMINATED
+    import pytest
+
+    from zparse_ray.functions.csv_parser import parse_csv
+    from zparse_ray.functions.errors import ParseError
+
+    with pytest.raises(ParseError) as e:
+        parse_csv('a,b\n"ab""cd,2\n')
+    assert "unterminated" in e.value.message

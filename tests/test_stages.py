@@ -290,3 +290,28 @@ def test_ivf_persisted_probe_reads_subset(ray_session, tmp_path):
     # probing more lists can only improve similarity of the kth result
     top_all = ivf_topk_persisted(idx_dir, q, n_probe=8, k=5)
     assert top_all[-1][1] >= top[-1][1] - 1e-12
+
+
+# -- simhash hamming-<=k band search ---------------------------------------
+
+def test_simhash_band_search_finds_close_fingerprints():
+    import pandas as pd
+
+    from zparse_ray.stages.dedup import simhash_band_explode, simhash_candidate_pairs
+
+    base = 0xDEADBEEFCAFEBABE
+    flip = lambda v, *bits: v ^ sum(1 << b for b in bits)
+    sims = np.array(
+        [base, flip(base, 3), flip(base, 3, 17, 40), flip(base, 1, 9, 22, 33, 47), 0x42],
+        dtype=np.uint64,
+    ).astype(np.int64)
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()), "simhash": pa.array(sims, pa.int64())})
+    exploded = simhash_band_explode(t).to_pandas()
+    pairs = {}
+    for _, g in exploded.groupby(["band_id", "band_bits"]):
+        for r in simhash_candidate_pairs(g).to_dict("records"):
+            pairs[(r["a"], r["b"])] = r["hamming"]
+    # hamming(0,1)=1, hamming(0,2)=3, hamming(1,2)=2 — all <=3, all found
+    assert pairs[(0, 1)] == 1 and pairs[(0, 2)] == 3 and pairs[(1, 2)] == 2
+    # doc 3 (hamming 5 from base) and doc 4 (far) never pair with 0
+    assert (0, 3) not in pairs and (0, 4) not in pairs

@@ -90,6 +90,12 @@ def _invalid(msg: str, offset: int = 0) -> ParseError:
     return ParseError(INVALID_TOKEN, msg, offset, 1, 1)
 
 
+# atomic group (Python 3.11+): no backtracking out of the field body, so
+# an unterminated `"ab""cd` fails the whole match (-> unterminated error)
+# instead of backtracking into a bogus shorter field + junk-after-quote
+_QUOTED_RE = re.compile(r'"((?>(?:[^"]|"")*))"[ \t\x0c]*')
+
+
 class _CsvParser:
     __slots__ = ("text", "n", "delim", "unquoted_re")
 
@@ -103,24 +109,19 @@ class _CsvParser:
         text, n, delim = self.text, self.n, self.delim
         if i >= n or text[i] == delim or text[i] in "\r\n":
             return "", False, i
-        if text[i] == '"':  # quoted field
-            i += 1
-            parts: list[str] = []
-            while True:
-                j = text.find('"', i)
-                if j < 0:
-                    raise _invalid("unterminated quoted CSV field", i)
-                parts.append(text[i:j])
-                if j + 1 < n and text[j + 1] == '"':
-                    parts.append('"')
-                    i = j + 2
-                    continue
-                i = j + 1
-                while i < n and text[i] != delim and text[i] in " \t\x0c":
-                    i += 1
-                if i < n and text[i] != delim and text[i] not in "\r\n":
-                    raise _invalid("invalid character after quoted CSV field", i)
-                return "".join(parts), True, i
+        if text[i] == '"':  # quoted field: one C-level match + replace
+            m = _QUOTED_RE.match(text, i)
+            if m is None:
+                raise _invalid("unterminated quoted CSV field", i + 1)
+            j = m.end()
+            if j < n and text[j] != delim and text[j] not in "\r\n":
+                # trailing ws was consumed by the pattern; anything else
+                # after the closing quote is junk (csv/parser.rs:260-266).
+                # NB a pattern end at `""` inside an unterminated field
+                # also lands here or at EOF correctly: `(?:[^"]|"")*` is
+                # greedy so it only stops at a true lone closing quote.
+                raise _invalid("invalid character after quoted CSV field", j)
+            return m.group(1).replace('""', '"'), True, j
         m = self.unquoted_re.match(text, i)
         return m.group(), False, m.end()
 
@@ -148,9 +149,23 @@ class _CsvParser:
         return fields, i
 
     def parse_records(self) -> list[list[tuple[str, bool]]]:
+        text, n = self.text, self.n
+        if '"' not in text and "\r" not in text:
+            # fast path: without quotes there is no error production and
+            # every field is a plain split — C-speed str.split per line;
+            # blank-record skip identical to the scanner below
+            delim = self.delim
+            recs = []
+            append = recs.append
+            for line in text.split("\n"):
+                fields = line.split(delim)
+                for f in fields:
+                    if f and not f.isspace():
+                        append([(f, False) for f in fields])
+                        break
+            return recs
         records = []
         i = 0
-        text, n = self.text, self.n
         while i < n:
             if text[i] == "\n":
                 i += 1
@@ -208,8 +223,7 @@ def parse_csv(text: str | bytes, config: CsvConfig | None = None) -> list:
     headers = normalize_headers(records[0])
     rows = []
     for record in records[1:]:
-        if _is_blank(record):
-            continue
+        # parse_records already dropped blank records
         obj: dict = {}
         for i, h in enumerate(headers):
             obj[h] = infer_field(*record[i]) if i < len(record) else None

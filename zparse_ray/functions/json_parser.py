@@ -297,6 +297,10 @@ _FAST_DECODER = _cjson.JSONDecoder(
     parse_float=float, parse_int=float, parse_constant=_reject_constant
 )
 
+# conservative trailing-comma detector for the permissive-config fast
+# path: a match anywhere (even inside a string) just means slow path
+_TRAILING_COMMA_RE = re.compile(r",\s*[}\]]")
+
 
 def _depth_guard(text: str, value, max_depth: int) -> bool:
     """True iff value's depth is within max_depth. Cheap path: fewer
@@ -330,7 +334,16 @@ def parse_json(text: str, config: JsonConfig | None = None):
         raise ParseError(
             MAX_SIZE_EXCEEDED, f"maximum size exceeded: {cfg.max_size}", 0, 1, 1
         )
-    if not (cfg.allow_comments or cfg.allow_trailing_commas) and "\\" not in text:
+    # permissive (JSONC) configs can also take the C fast path when the
+    # text provably uses none of the permissive features: no '/' rules
+    # out comments, and no ",}"/",]" (whitespace-insensitive) rules out
+    # trailing commas — both cheap C scans; false positives only fall
+    # back to the exact parser
+    fast_ok = "\\" not in text and (
+        not (cfg.allow_comments or cfg.allow_trailing_commas)
+        or ("/" not in text and not _TRAILING_COMMA_RE.search(text))
+    )
+    if fast_ok:
         try:
             v = _FAST_DECODER.decode(text)
         except (ValueError, RecursionError):

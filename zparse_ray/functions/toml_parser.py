@@ -189,15 +189,18 @@ class _TomlLexer:
         out: list[tuple[str, object, int]] = []
         append = out.append
         i = 0
+        # integer lastindex dispatch (no lastgroup name lookup), branch
+        # order = group frequency in flat key=value documents; group
+        # indices follow _MASTER's definition order
         for m in _MASTER.finditer(text):
-            if m.start() != i:
+            start, end = m.span()
+            if start != i:
                 raise self.err(INVALID_TOKEN, "invalid token", i)
-            i = m.end()
-            kind = m.lastgroup
-            if kind == "ws":
+            i = end
+            g = m.lastindex
+            if g == 1:  # ws
                 continue
-            start = m.start()
-            if kind == "word":
+            if g == 6:  # word
                 w = m.group()
                 if w == "true":
                     append((BOOL, True, start))
@@ -205,25 +208,25 @@ class _TomlLexer:
                     append((BOOL, False, start))
                 else:
                     append((BAREKEY, w, start))
-            elif kind == "sstr" or kind == "slit":
-                append((STRING, m.group()[1:-1], start))
-            elif kind == "num":
+            elif g == 9:  # punct
+                append((_PUNCT_KIND[m.group()], None, start))
+            elif g == 8:  # num
                 append(self.classify_number(m.group(), start))
-            elif kind == "signspec":
+            elif g == 4 or g == 5:  # sstr / slit
+                append((STRING, m.group()[1:-1], start))
+            elif g == 2:  # nl
+                append((NL, None, start))
+            elif g == 3:  # comment
+                pass
+            elif g == 7:  # signspec
                 w = m.group()
                 v = float("inf") if w[1:] == "inf" else float("nan")
                 append((NUMBER, -v if w[0] == "-" else v, start))
-            elif kind == "punct":
-                append((_PUNCT_KIND[m.group()], None, start))
-            elif kind == "nl":
-                append((NL, None, start))
-            elif kind == "comment":
-                pass
-            elif kind == "dq":  # escaped/multiline basic string: re-scan
+            elif g == 10:  # dq: escaped/multiline basic string — re-scan
                 sv, i = self.lex_basic(start)
                 append((STRING, sv, start))
                 return out + self._resume(i)
-            elif kind == "sq":
+            else:  # g == 11, sq
                 sv, i = self.lex_literal(start)
                 append((STRING, sv, start))
                 return out + self._resume(i)

@@ -189,56 +189,71 @@ class _XmlParser:
                 raise self.err("duplicate attribute", name_off)
             attrs[name] = value
 
-    def parse_element(self) -> XmlElement:
+    def _at_misc(self) -> bool:
+        """True iff the cursor sits on comment/CDATA/decl/PI markup —
+        a two-char peek so the hot paths only pay skip_misc's four
+        startswith probes when one can actually match."""
+        pos = self.pos
         text = self.text
-        while self.skip_misc():
+        return pos + 1 < self.n and text[pos] == "<" and (
+            text[pos + 1] == "!" or text[pos + 1] == "?"
+        )
+
+    def parse_element(self) -> XmlElement:
+        text, n = self.text, self.n
+        while self._at_misc() and self.skip_misc():
             self.skip_ws()
-        if self.pos >= self.n or text[self.pos] != "<":
+        pos = self.pos
+        if pos >= n or text[pos] != "<":
             raise self.err("unexpected token")
-        if text.startswith("</", self.pos):
+        if pos + 1 < n and text[pos + 1] == "/":
             raise self.err("unexpected closing tag")
-        self.pos += 1
+        self.pos = pos + 1
         name = self.parse_name()
         attrs = self.parse_attributes()
-        if text.startswith("/", self.pos):
-            self.pos += 1
-            if self.pos >= self.n or text[self.pos] != ">":
+        pos = self.pos
+        if pos < n and text[pos] == "/":
+            if pos + 1 >= n or text[pos + 1] != ">":
+                self.pos = pos + 1
                 raise self.err("unexpected token")
-            self.pos += 1
+            self.pos = pos + 2
             return XmlElement(name, attrs, [])
-        if self.pos >= self.n or text[self.pos] != ">":
+        if pos >= n or text[pos] != ">":
             raise self.err("unexpected token")
-        self.pos += 1
+        self.pos = pos + 1
 
         children: list = []
+        append = children.append
         while True:
-            if text.startswith("</", self.pos):
-                self.pos += 2
-                close_off = self.pos
-                close_name = self.parse_name()
-                if close_name != name:
-                    raise self.err("mismatched closing tag", close_off)
-                self.skip_ws()
-                if self.pos >= self.n or text[self.pos] != ">":
-                    raise self.err("unexpected token")
-                self.pos += 1
-                return XmlElement(name, attrs, children)
-            if self.pos >= self.n:
+            pos = self.pos
+            if pos >= n:
                 raise self.err("unterminated element")
-            if text[self.pos] == "<":
-                if self.skip_misc():
+            if text[pos] == "<":
+                nxt = text[pos + 1] if pos + 1 < n else ""
+                if nxt == "/":
+                    self.pos = pos + 2
+                    close_off = self.pos
+                    close_name = self.parse_name()
+                    if close_name != name:
+                        raise self.err("mismatched closing tag", close_off)
+                    self.skip_ws()
+                    if self.pos >= n or text[self.pos] != ">":
+                        raise self.err("unexpected token")
+                    self.pos += 1
+                    return XmlElement(name, attrs, children)
+                if (nxt == "!" or nxt == "?") and self.skip_misc():
                     continue
-                children.append(self.parse_element())
+                append(self.parse_element())
                 continue
             # text span up to next '<'
-            j = text.find("<", self.pos)
+            j = text.find("<", pos)
             if j < 0:
-                raise self.err("unterminated element", self.n)
-            raw = text[self.pos : j]
-            decoded = decode_entities(raw, text, self.pos)
+                raise self.err("unterminated element", n)
+            raw = text[pos:j]
+            decoded = decode_entities(raw, text, pos)
             self.pos = j
             if decoded.strip():
-                children.append(decoded)
+                append(decoded)
 
 
 def parse_xml(text: str, config: XmlConfig | None = None) -> XmlDocument:

@@ -355,8 +355,12 @@ class _YamlParser:
         if content.startswith("-") and (len(content) == 1 or content[1] in " \t" or True):
             # any '-'-prefixed line is a sequence item (lexer/yaml.rs lex_line)
             return self.parse_sequence(indent, ancestors)
-        if _split_key_value(content) is not None:
-            return self.parse_mapping(indent, ancestors, first_key=None)
+        kv = _split_key_value(content)
+        if kv is not None:
+            # hand the already-split head line to parse_mapping so it
+            # isn't re-split (the per-entry loop splits each line once)
+            self.i += 1
+            return self.parse_mapping(indent, ancestors, first_key=(kv[0], kv[1], lineno))
         # scalar document / scalar block value
         self.i += 1
         return self.parse_inline_value(content, lineno)

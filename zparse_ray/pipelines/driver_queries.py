@@ -751,20 +751,35 @@ def minhash_lsh_neardup(sf_dir: str):
 
 
 def simhash_neardup(sf_dir: str):
-    """SimHash near-dup: 64-bit fingerprints; groups sharing a
-    fingerprint (hamming-0 buckets) are duplicates. Rows-only check."""
-    from ray.data.aggregate import Count
-
-    from ..stages.dedup import SimHasher
+    """SimHash near-dup with hamming-<=3 neighbor search: 64-bit
+    fingerprints -> 4-band pigeonhole explode -> (band_id, band_bits)
+    groupby -> exact-hamming verify per bucket (VERDICT r1: hamming-0
+    only before). Rows-only check."""
+    from ..stages.dedup import SimHasher, simhash_band_explode, simhash_candidate_pairs
 
     docs = _augmented_docs(sf_dir)
-    out = (
+    pairs = (
         docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
-        .groupby("simhash")
-        .aggregate(Count(alias_name="n_docs"))
+        .map_batches(simhash_band_explode, batch_format="pyarrow")
+        .groupby(["band_id", "band_bits"])
+        .map_groups(simhash_candidate_pairs, batch_format="pandas")
     )
-    t = pa.Table.from_pylist(out.take_all())
-    return t.filter(pc.greater(t["n_docs"], 1))
+    # a pair can surface from several bands — dedup the tiny pair set
+    rows = {(int(r["a"]), int(r["b"])): int(r["hamming"]) for r in pairs.take_all()}
+    out = [
+        {"a": a, "b": b, "hamming": h} for (a, b), h in sorted(rows.items())
+    ]
+    return (
+        pa.Table.from_pylist(out)
+        if out
+        else pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+    )
 
 
 def doc_fingerprints(sf_dir: str):

@@ -135,3 +135,57 @@ class SimHasher:
         s = batch["text"].to_pandas().fillna("")
         vals = np.array([self.simhash(t) for t in s], dtype=np.uint64).astype(np.int64)
         return batch.append_column("simhash", pa.array(vals, pa.int64()))
+
+
+def simhash_band_explode(batch: pa.Table, *, n_bands: int = 4) -> pa.Table:
+    """Hamming-<=k neighbor search, band pigeonhole (k = n_bands - 1):
+    two 64-bit simhashes within hamming distance k agree on at least one
+    of n_bands disjoint bit-bands, so exploding each fingerprint into
+    (band_id, band_bits) rows and grouping by them surfaces every <=k
+    candidate pair in a compact shuffle of n_bands rows per doc. The
+    exact hamming check on candidates removes pigeonhole false
+    positives."""
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    sims = batch["simhash"].to_numpy().astype(np.uint64)
+    ids = batch["doc_id"].to_numpy()
+    n = len(sims)
+    doc_out = np.repeat(ids, n_bands)
+    band_out = np.tile(np.arange(n_bands, dtype=np.int32), n)
+    shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(width))[None, :]
+    bits = ((sims[:, None] >> shifts) & mask).reshape(-1)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "band_id": pa.array(band_out, pa.int32()),
+            "band_bits": pa.array(bits.astype(np.int64), pa.int64()),
+            "simhash": pa.array(np.repeat(sims, n_bands).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def simhash_candidate_pairs(group: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
+    """map_groups body over (band_id, band_bits) buckets: exact-hamming
+    verify within the bucket; emits (a, b, hamming) pairs <= max_hamming.
+    Bucket sizes are capped like lsh_candidate_pairs."""
+    sub = group.drop_duplicates("doc_id").sort_values("doc_id")
+    ids = sub["doc_id"].to_numpy()
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+    cap = 64
+    ids = ids[:cap]
+    sims = sub["simhash"].to_numpy()[:cap].astype(np.uint64)
+    ii, jj = np.triu_indices(len(ids), k=1)
+    x = sims[ii] ^ sims[jj]
+    ham = np.zeros(len(x), dtype=np.int64)
+    for _ in range(64):
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    m = ham <= max_hamming
+    return pd.DataFrame(
+        {
+            "a": ids[ii[m]].astype(np.int64),
+            "b": ids[jj[m]].astype(np.int64),
+            "hamming": ham[m],
+        }
+    )

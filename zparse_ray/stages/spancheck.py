@@ -298,7 +298,13 @@ class SpanValidator:
         skip = bad_kind | too_big
         gram_idx = np.flatnonzero(is_grammar & ~skip)
         if len(gram_idx):
-            texts_np = text_arr.to_numpy(zero_copy_only=False)
+            # materialize ONLY the grammar spans as Python strings — text/
+            # media spans (~40%) never enter the walk, so skipping their
+            # str allocation cuts memory traffic at full-box occupancy
+            texts_np = np.empty(n_spans_total, dtype=object)
+            texts_np[gram_idx] = text_arr.take(
+                pa.array(gram_idx, pa.int64())
+            ).to_pylist()
             for i, check_id, detail in validate_payloads(
                 kind_np, texts_np, gram_idx, self.round_trip, self.parser_configs
             ):
