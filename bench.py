@@ -127,17 +127,33 @@ def main() -> None:
         #     both sizes). The '8+spin' variant therefore ALSO runs the
         #     8-CPU job with the other 24 cores occupied by nice-19
         #     spinner processes, holding box occupancy — and so per-core
-        #     frequency — constant across levels. Both efficiencies are
-        #     reported: `value` is the density-controlled one (the
-        #     cluster-faithful estimate), `value_raw` the uncontrolled
-        #     same-box number.
+        #     frequency — constant across levels. The spinners run the
+        #     REAL grammar walk (nice-19), not an empty register loop,
+        #     so LLC/DRAM contention is also equal across levels — on a
+        #     4N-node cluster every node keeps the same per-core compute
+        #     AND memory conditions at both sizes, and this reproduces
+        #     that. Both efficiencies are reported: `value` is the
+        #     density-controlled one (the cluster-faithful estimate),
+        #     `value_raw` the uncontrolled same-box number.
         rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
         host_cores = os.cpu_count() or 32
         levels = [("8raw", 8, 0), ("8dense", 8, max(0, host_cores - 8)), ("32", 32, 0)]
         times: dict[str, list[float]] = {k: [] for k, _, _ in levels}
         rates: dict[str, list[float]] = {k: [] for k, _, _ in levels}
         last = {}
-        spin_src = "import os\nos.nice(19)\nwhile True:\n    pass\n"
+        repo = os.path.dirname(os.path.abspath(__file__))
+        spin_src = (
+            "import os, sys\n"
+            "os.nice(19)\n"
+            f"sys.path.insert(0, {repo!r})\n"
+            "from zparse_ray.functions.toml_parser import parse_toml\n"
+            "from zparse_ray.functions.json_parser import parse_json\n"
+            "doc_t = 'k = { a = 1, b = [1, 2, \"x\"] }\\nm = \"hello world\"\\n'\n"
+            "doc_j = '{\"a\": [1, 2, {\"b\": \"text text text\"}], \"c\": 3.5}'\n"
+            "while True:\n"
+            "    parse_toml(doc_t)\n"
+            "    parse_json(doc_j)\n"
+        )
         for _ in range(rounds):
             for key, ncpu, n_spin in levels:
                 spinners = [

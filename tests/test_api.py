@@ -23,3 +23,32 @@ def test_format_specific_entrypoints():
 def test_convert_and_detect():
     assert z.convert('{"a": 1}', "json", "toml") == "a = 1"
     assert z.detect_format_from_path("x.yml") == "yaml"
+
+
+# -- event-stream API (SURVEY §2.5, ref json/parser.rs:120-151) ------------
+
+def test_event_stream_vocabulary_and_order():
+    from zparse_ray.functions.events import parse_events
+
+    evts = list(parse_events('{"a": [1, true], "b": null}', "json"))
+    assert evts == [
+        ("ObjectStart", None),
+        ("Key", "a"),
+        ("ArrayStart", None),
+        ("Value", 1.0),
+        ("Value", True),
+        ("ArrayEnd", None),
+        ("Key", "b"),
+        ("Value", None),
+        ("ObjectEnd", None),
+        ("Eof", None),
+    ]
+
+
+def test_event_stream_toml_and_scalar_root():
+    from zparse_ray.functions.events import parse_events
+
+    assert list(parse_events("42", "json")) == [("Value", 42.0), ("Eof", None)]
+    evts = list(parse_events('k = { x = 1 }\n', "toml"))
+    assert evts[0] == ("ObjectStart", None) and evts[-1] == ("Eof", None)
+    assert ("Key", "x") in evts

