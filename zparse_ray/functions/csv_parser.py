@@ -221,13 +221,18 @@ def parse_csv(text: str | bytes, config: CsvConfig | None = None) -> list:
     if not records:
         return []
     headers = normalize_headers(records[0])
+    n_h = len(headers)
     rows = []
+    append = rows.append
     for record in records[1:]:
         # parse_records already dropped blank records
-        obj: dict = {}
-        for i, h in enumerate(headers):
-            obj[h] = infer_field(*record[i]) if i < len(record) else None
-        for i in range(len(headers), len(record)):
-            obj[f"column_{i + 1}"] = infer_field(*record[i])
-        rows.append(obj)
+        vals = [infer_field(v, q) for v, q in record]
+        obj = dict(zip(headers, vals))
+        if len(record) < n_h:
+            for h in headers[len(record):]:
+                obj[h] = None
+        elif len(record) > n_h:
+            for i in range(n_h, len(record)):
+                obj[f"column_{i + 1}"] = vals[i]
+        append(obj)
     return rows

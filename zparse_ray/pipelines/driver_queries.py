@@ -840,6 +840,86 @@ def simhash_neardup(sf_dir: str):
     )
 
 
+def ngram_jaccard_neardup(sf_dir: str):
+    """Exact 5-token-shingle Jaccard near-dup over a BOUNDED doc subset
+    (doc_id < 150), oracle-checked against DuckDB list algebra. All
+    arithmetic is integer-exact on both sides: threshold 0.5 is the
+    integer compare 2*|inter| >= |union|, and the reported score is
+    floor(100*j + 0.5) = (200*inter + union) // (2*union). Tokens are
+    ASCII [a-z0-9_]+ on lower() so Python re and RE2 agree. The
+    SCALABLE path for this family is minhash_lsh_neardup; this is its
+    exact, checkable counterpart on a bounded subset."""
+    import re as _re
+
+    tok = _re.compile(r"[a-z0-9_]+")
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.less(t["doc_id"], 150))
+        ids, shs = [], []
+        for did, text in zip(sel["doc_id"].to_pylist(), sel["text"].to_pylist()):
+            w = tok.findall((text or "").lower())
+            if not w:
+                sh = set()
+            elif len(w) < 5:
+                sh = {" ".join(w)}
+            else:
+                sh = {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+            ids.append(did)
+            shs.append(sorted(sh))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "sh": pa.array(shs, pa.list_(pa.string()))}
+        )
+
+    rows = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(shingle_rows, batch_format="pyarrow")
+        .take_all()
+    )
+    docs = sorted((r["doc_id"], set(r["sh"])) for r in rows)
+    out = []
+    for i in range(len(docs)):
+        a, sa = docs[i]
+        for j in range(i + 1, len(docs)):
+            b, sb = docs[j]
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if union > 0 and 2 * inter >= union:
+                out.append({"a": a, "b": b, "jaccard_x100": (200 * inter + union) // (2 * union)})
+    return (
+        pa.Table.from_pylist(out)
+        if out
+        else pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "jaccard_x100": pa.array([], pa.int64()),
+            }
+        )
+    )
+
+
+_NGRAM_JACCARD_SQL = """
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS w
+  FROM documents WHERE doc_id < 150
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(range(1, greatest(len(w)-4,0)+1),
+                     i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
+         END AS sh
+  FROM d
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST((200 * len(list_intersect(a.sh, b.sh)) + len(list_distinct(list_concat(a.sh, b.sh))))
+            // (2 * len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jaccard_x100
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+  AND 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(list_concat(a.sh, b.sh)))
+"""
+
+
 def doc_fingerprints(sf_dir: str):
     """Rolling-hash winnowed fingerprints: how many distinct docs share
     a fingerprint bucket (content clustering signal). Rows-only."""
@@ -1508,6 +1588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_revenue_by_brand": part_revenue_by_brand,
         "sort_limit_top_lineitems": sort_limit_top_lineitems,
         "orders_lineitem_revenue": orders_lineitem_revenue,
+        "ngram_jaccard_neardup": ngram_jaccard_neardup,
         "null_type_hist": null_type_hist,
         "minmax_mean": minmax_mean,
         "distinct_counts": distinct_counts,
@@ -1573,6 +1654,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_cardinality": _HLL_SQL,
         "tdigest_quantiles": _TDIGEST_SQL,
         "orders_lineitem_revenue": _BIGJOIN_SQL,
+        "ngram_jaccard_neardup": _NGRAM_JACCARD_SQL,
         "csv_export_roundtrip": _CSVEXPORT_SQL,
         "bloom_uniqueness": _BLOOM_SQL,
     }
