@@ -65,3 +65,67 @@ def test_parse_serialize_parse_closure(fmt, text):
     except ParseError:
         return  # e.g. csv output needs array-of-objects root
     PARSERS[fmt](s)  # must not raise
+
+
+# -- pipeline-level table fuzz: random adversarial span tables must keep
+# distributed-vs-oracle parity (nulls, invalid docs, dup ids, bad offsets)
+
+def test_random_adversarial_tables_parity(ray_session, tmp_path):
+    import os
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zparse_ray.oracle import oracle_validate, read_pipeline_outputs
+    from zparse_ray.pipelines.validate import run_validation
+    from zparse_ray.synth import _INVALID_MENU, _valid_payload
+
+    span_t = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    schema = pa.schema(
+        [("partition_id", pa.int32()), ("doc_id", pa.string()), ("spans", pa.list_(span_t))]
+    )
+    kinds = ["json", "jsonc", "csv", "toml", "yaml", "xml", "text", "image", "audio", "bogus", None]
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        rows = []
+        for pid in range(2):
+            for i in range(40):
+                spans = []
+                off = 0
+                for _ in range(rng.randint(1, 6)):
+                    kind = rng.choice(kinds)
+                    if kind in _INVALID_MENU and rng.random() < 0.4:
+                        text = rng.choice(_INVALID_MENU[kind])[0]
+                    elif kind in ("json", "jsonc", "csv", "toml", "yaml", "xml", "text"):
+                        text = _valid_payload(kind, rng)
+                    else:
+                        text = rng.choice([None, "", "blob"])
+                    ref = rng.choice([None, "", "asset-000001", "asset-missing"]) if kind in ("image", "audio") else ""
+                    o = rng.choice([None, off, off - 3])
+                    spans.append({"kind": kind, "text": rng.choice([text, None]) if rng.random() < 0.1 else text,
+                                  "media_ref": ref, "offset": o})
+                    off += rng.randint(1, 9)
+                doc_id = rng.choice([None, f"doc-{rng.randint(0, 50):04d}"])
+                rows.append({"partition_id": pid, "doc_id": doc_id, "spans": spans})
+        d = str(tmp_path / f"fuzz{seed}")
+        os.makedirs(os.path.join(d, "spans"))
+        t = pa.Table.from_pylist(rows, schema=schema)
+        for pid in range(2):
+            import pyarrow.compute as pc
+            pq.write_table(
+                t.filter(pc.equal(t["partition_id"], pid)),
+                os.path.join(d, "spans", f"part-{pid:05d}.parquet"),
+            )
+        pq.write_table(pa.table({"asset_id": pa.array(["asset-000001"])}),
+                       os.path.join(d, "assets.parquet"))
+        out = str(tmp_path / f"fuzz{seed}_out")
+        run_validation(d, out, round_trip=True)
+        p = read_pipeline_outputs(out)
+        o = oracle_validate(d, round_trip=True)
+        assert p[0] == o[0], f"seed {seed}: violations diverge"
+        assert p[1] == o[1], f"seed {seed}: verdicts diverge"

@@ -271,3 +271,46 @@ def test_parser_config_max_depth_plumbed(ray_session, tmp_path):
     o_viols, o_verdicts = oracle_validate(d, parser_configs=cfgs)
     assert viols == o_viols
     assert verdicts == o_verdicts
+
+
+def test_null_fields_normalized_and_parity(ray_session, tmp_path):
+    # foreign data can carry nulls our own layout never produces: null
+    # kind -> UnknownKind, null grammar text -> empty-document grammar
+    # error, null media_ref -> RefIntegrity, null offset -> -1, null
+    # doc_id -> "". Pipeline and oracle must agree exactly.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span_t = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    schema = pa.schema(
+        [("partition_id", pa.int32()), ("doc_id", pa.string()), ("spans", pa.list_(span_t))]
+    )
+    rows = [
+        {"partition_id": 0, "doc_id": "d1", "spans": [
+            {"kind": "json", "text": None, "media_ref": "", "offset": 0},   # empty-doc error
+            {"kind": None, "text": "x", "media_ref": "", "offset": 5},       # UnknownKind
+            {"kind": "image", "text": "t", "media_ref": None, "offset": 9},  # RefIntegrity
+            {"kind": "text", "text": "fine", "media_ref": "", "offset": None},  # offset -1 -> SpanOrder
+        ]},
+        {"partition_id": 0, "doc_id": None, "spans": [
+            {"kind": "text", "text": "ok", "media_ref": "", "offset": 0},
+        ]},
+    ]
+    d = str(tmp_path / "nulls")
+    os.makedirs(os.path.join(d, "spans"))
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   os.path.join(d, "spans", "part-00000.parquet"))
+    pq.write_table(pa.table({"asset_id": pa.array(["asset-000001"])}),
+                   os.path.join(d, "assets.parquet"))
+
+    out = str(tmp_path / "nulls_out")
+    run_validation(d, out, round_trip=True)
+    p_viols, p_verdicts = read_pipeline_outputs(out)
+    o_viols, o_verdicts = oracle_validate(d, round_trip=True)
+    assert p_viols == o_viols
+    assert p_verdicts == o_verdicts
+    checks = {v["check_id"] for v in p_viols}
+    assert "UnknownKind" in checks and "RefIntegrity" in checks

@@ -74,7 +74,7 @@ def oracle_validate(
     for f in sorted(glob.glob(os.path.join(spans_dir, "spans", "part-*.parquet"))):
         for row in pq.read_table(f).to_pylist():
             pid = row["partition_id"]
-            doc_id = row["doc_id"]
+            doc_id = row["doc_id"] or ""
             spans = row["spans"]
             stats = per_part.setdefault(
                 pid, {"n_docs": 0, "n_spans": 0, "n_violations": 0, "checks": set()}
@@ -87,7 +87,12 @@ def oracle_validate(
             doc_viols = []
             prev_offset = None
             for si, span in enumerate(spans):
-                kind, text, ref, off = span["kind"], span["text"], span["media_ref"], span["offset"]
+                # null normalization identical to SpanValidator: "" for
+                # kind/text/media_ref, -1 for offset, "" for doc_id
+                kind = span["kind"] or ""
+                text = span["text"] if span["text"] is not None else ""
+                ref = span["media_ref"] if span["media_ref"] is not None else ""
+                off = span["offset"] if span["offset"] is not None else -1
                 if prev_offset is not None and off <= prev_offset:
                     doc_viols.append((si, E.SPAN_ORDER, f"offset {off} after {prev_offset}", off))
                 prev_offset = off

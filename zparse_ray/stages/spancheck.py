@@ -230,7 +230,7 @@ class SpanValidator:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return PARTIALS_SCHEMA.empty_table()
-        doc_ids = batch["doc_id"].combine_chunks()
+        doc_ids = pc.fill_null(batch["doc_id"].combine_chunks(), "")
         spans = batch["spans"].combine_chunks()
         pids = batch["partition_id"].combine_chunks().to_numpy()
 
@@ -242,10 +242,16 @@ class SpanValidator:
             base = int(list_offsets[0])
             sv = sv.slice(base, int(list_offsets[-1]) - base)
             list_offsets = list_offsets - base
-        kind_np = sv.field("kind").to_numpy(zero_copy_only=False)
-        text_arr = sv.field("text")
-        media_np = sv.field("media_ref").to_numpy(zero_copy_only=False)
-        off_np = sv.field("offset").to_numpy()
+        # null normalization (nulls never appear in our own layout but can
+        # in foreign data): null kind/text/media_ref read as "" — a null
+        # kind is then UnknownKind, a null grammar payload parses as the
+        # empty document (a deterministic grammar error), a null media_ref
+        # fails RefIntegrity; a null offset sorts as -1. The oracle
+        # applies the SAME normalization.
+        kind_np = pc.fill_null(sv.field("kind"), "").to_numpy(zero_copy_only=False)
+        text_arr = pc.fill_null(sv.field("text"), "")
+        media_np = pc.fill_null(sv.field("media_ref"), "").to_numpy(zero_copy_only=False)
+        off_np = pc.fill_null(sv.field("offset"), -1).to_numpy()
         n_rows = batch.num_rows
         n_spans_total = len(kind_np)
         # row index of each flattened span
