@@ -1031,19 +1031,54 @@ LIMIT 10
 """
 
 
-def embedding_neardup_exact(sf_dir: str):
-    """Exact cosine near-dup pairs (≥0.9): batch × broadcast-matrix
-    matmul (right side broadcast once) — the one-side-fits pattern."""
-    import ray
+def _augmented_embeddings_df(sf_dir: str):
+    """embeddings + deterministic planted near-dups: vec_id < 20 copied
+    to vec_id+1e6 with every component scaled by 1.0001 — the direction
+    is unchanged, so each copy is an exact cosine-1 neighbor of its
+    original. Mirrored verbatim in the oracle SQL (list_transform)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_numpy()
-    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    base = t.to_pandas()
+    mut = base[base["vec_id"] < 20].copy()
+    mut["vec_id"] = mut["vec_id"] + 1_000_000
+    mut["embedding"] = mut["embedding"].map(lambda v: [float(x) * 1.0001 for x in v])
+    return pd.concat([base, mut], ignore_index=True)
+
+
+def _augmented_embeddings_ds(sf_dir: str):
+    """The augmented corpus as a Dataset with an explicit arrow
+    list<double> column (from_pandas would coerce it to Ray's tensor
+    extension type, which the similarity kernels don't consume)."""
+    import ray.data as rd
+
+    aug = _augmented_embeddings_df(sf_dir)
+    t = pa.table(
+        {
+            "vec_id": pa.array(aug["vec_id"].to_numpy(), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in aug["embedding"]], pa.list_(pa.float64())
+            ),
+        }
+    )
+    return rd.from_arrow(t)
+
+
+def embedding_neardup_exact(sf_dir: str):
+    """Exact cosine near-dup pairs (≥0.9) over the planted-near-dup
+    corpus: batch × broadcast-matrix matmul (right side broadcast once)
+    — the one-side-fits pattern. Oracle-checked; the 20 planted copies
+    guarantee a nonempty, recall-measurable result."""
+    import ray
+    import ray.data as rd
+
+    aug = _augmented_embeddings_df(sf_dir)
+    ids = aug["vec_id"].to_numpy()
+    m = np.stack(aug["embedding"].to_numpy()).astype(np.float64)
     mn = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
     ref = ray.put((ids, mn))
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _augmented_embeddings_ds(sf_dir)
 
     def pairs(batch: pa.Table) -> pa.Table:
         bids = batch["vec_id"].to_numpy()
@@ -1068,23 +1103,32 @@ def embedding_neardup_exact(sf_dir: str):
 
 
 _NEARDUP_SQL = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> x * 1.0001) AS embedding
+  FROM embeddings WHERE vec_id < 20
+)
 SELECT a.vec_id AS a, b.vec_id AS b
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
 """
 
 
 def embedding_neardup_lsh(sf_dir: str):
-    """Scale path: hyperplane-LSH buckets → per-bucket exact cosine.
-    Rows-only (recall < 1 by design)."""
-    import pyarrow.parquet as pq
+    """Scale path: hyperplane-LSH buckets → per-bucket exact cosine,
+    over the same planted-near-dup corpus as the exact variant (a
+    scaled copy keeps every hyperplane sign, so LSH recall on the
+    planted pairs is 100%). Rows-only (natural-pair recall < 1 by
+    design)."""
+    import ray.data as rd
 
     from ..stages.similarity import HyperplaneLsh, cosine_neardup_pairs
 
-    dim = len(
-        pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, 1)["embedding"][0]
-    )
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    aug = _augmented_embeddings_df(sf_dir)
+    dim = len(aug["embedding"].iloc[0])
+    ds = _augmented_embeddings_ds(sf_dir)
     bucketed = ds.map_batches(
         HyperplaneLsh, fn_constructor_kwargs={"dim": dim, "n_bits": 8}, batch_format="pyarrow", concurrency=2
     )
