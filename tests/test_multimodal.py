@@ -25,3 +25,48 @@ def test_media_pipeline(ray_session):
     assert abs(np.linalg.norm(f) - 1.0) < 1e-4
     assert (t["width"] >= 32).all() and (t["height"] >= 32).all()
     assert (t.loc[t["kind"] == "audio", "n_frames"] >= 1).all()
+
+
+def test_resizer_aspect_preserving_and_stub():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from zparse_ray.stages.multimodal import MediaResizer
+
+    b = pa.table(
+        {
+            "asset_id": pa.array(["a", "b", "c"]),
+            "kind": pa.array(["image", "image", "image"]),
+            "width": pa.array([1920, 100, 448], pa.int32()),
+            "height": pa.array([1080, 400, 224], pa.int32()),
+        }
+    )
+    out = MediaResizer(target_w=224, target_h=224, decoder="fake")(b)
+    rw, rh = out["resized_w"].to_pylist(), out["resized_h"].to_pylist()
+    assert rw[0] == 224 and rh[0] == 126          # landscape fits width
+    assert rh[1] == 224 and rw[1] == 56           # portrait fits height
+    assert rw[2] == 224 and rh[2] == 112          # exact halving
+    assert all(w <= 224 and h <= 224 for w, h in zip(rw, rh))
+    with pytest.raises(NotImplementedError):
+        MediaResizer(decoder=None)(b)
+
+
+def test_frame_sampler_stride_and_cap():
+    import pyarrow as pa
+
+    from zparse_ray.stages.multimodal import FrameSampler
+
+    b = pa.table(
+        {
+            "asset_id": pa.array(["x", "y"]),
+            "n_frames": pa.array([25, 900], pa.int32()),
+        }
+    )
+    out = FrameSampler(every_n=10, max_frames=5, frame_ms=40)(b)
+    rows = out.to_pylist()
+    xs = [r for r in rows if r["asset_id"] == "x"]
+    ys = [r for r in rows if r["asset_id"] == "y"]
+    assert [r["frame_idx"] for r in xs] == [0, 10, 20]
+    assert len(ys) == 5  # capped
+    assert ys[1]["t_offset_ms"] == 400

@@ -1230,16 +1230,39 @@ def media_features(sf_dir: str):
     from ..stages.multimodal import extract_media_features
     from ..synth import SynthConfig, ensure_dataset
 
+    from ..stages.multimodal import FrameSampler, MediaResizer
+
     d = ensure_dataset(SynthConfig(n_docs=2_000, n_partitions=4, seed=42))
     spans = rd.read_parquet(sorted(_glob.glob(d + "/spans/*.parquet")))
     feats = extract_media_features(spans, decoder="fake", batch_size=128, concurrency=2)
+    # full multimodal chain: features -> aspect-preserving resize ->
+    # per-frame expansion (audio assets are multi-frame in the stub)
+    resized = feats.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"target_w": 224, "target_h": 224, "decoder": "fake"},
+        batch_size=128,
+        batch_format="pyarrow",
+        concurrency=2,
+        max_restarts=0,
+    )
+    frames = feats.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_n": 10, "max_frames": 8},
+        batch_size=128,
+        batch_format="pyarrow",
+        concurrency=2,
+        max_restarts=0,
+    )
     t = feats.to_pandas()
+    r = resized.to_pandas()
     return pa.Table.from_pylist(
         [
             {
                 "n_assets": len(t),
                 "n_image": int((t["kind"] == "image").sum()),
                 "n_audio": int((t["kind"] == "audio").sum()),
+                "n_over_target": int((r["scale_x1000"] < 1000).sum()),
+                "n_sampled_frames": int(frames.count()),
             }
         ]
     )

@@ -127,3 +127,94 @@ def extract_media_features(spans_ds, *, decoder: str | None = "fake", batch_size
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+RESIZED_SCHEMA = pa.schema(
+    [
+        ("asset_id", pa.string()),
+        ("kind", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("resized_w", pa.int32()),
+        ("resized_h", pa.int32()),
+        ("scale_x1000", pa.int32()),
+    ]
+)
+
+FRAMES_SCHEMA = pa.schema(
+    [
+        ("asset_id", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("t_offset_ms", pa.int32()),
+    ]
+)
+
+
+class MediaResizer:
+    """Actor-pool stage: aspect-preserving fit of decoded media into a
+    (target_w, target_h) box. The arithmetic (integer, floor, min-scale)
+    is the real plumbing; the pixel resample itself is the stubbed codec
+    call (``decoder='fake'`` skips it, ``decoder=None`` raises)."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224, decoder: str | None = None):
+        if decoder not in (None, "fake"):
+            raise ValueError(f"unknown decoder: {decoder!r}")
+        self.tw, self.th = target_w, target_h
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder is None:
+            raise NotImplementedError(
+                "media resize requires an image codec, none available in this "
+                "environment — construct with decoder='fake' for the stub"
+            )
+        w = batch["width"].to_numpy().astype(np.float64)
+        h = batch["height"].to_numpy().astype(np.float64)
+        scale = np.minimum(self.tw / np.maximum(w, 1), self.th / np.maximum(h, 1))
+        scale = np.minimum(scale, 1.0)  # never upscale
+        rw = np.maximum((w * scale).astype(np.int32), 1)
+        rh = np.maximum((h * scale).astype(np.int32), 1)
+        return pa.table(
+            {
+                "asset_id": batch["asset_id"],
+                "kind": batch["kind"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "resized_w": pa.array(rw, pa.int32()),
+                "resized_h": pa.array(rh, pa.int32()),
+                "scale_x1000": pa.array((scale * 1000).astype(np.int32), pa.int32()),
+            },
+            schema=RESIZED_SCHEMA,
+        )
+
+
+class FrameSampler:
+    """Actor-pool stage: expand each multi-frame asset into one row per
+    SAMPLED frame (every_n stride, capped at max_frames) — the
+    flat_map-shaped stage a video/audio feature pipeline needs. Frame
+    timestamps assume a fixed frame interval (the stub decoder's
+    metadata); output rows are tiny, so expansion is safe upstream of a
+    per-frame inference stage."""
+
+    def __init__(self, every_n: int = 10, max_frames: int = 32, frame_ms: int = 40):
+        self.every_n = max(1, every_n)
+        self.max_frames = max_frames
+        self.frame_ms = frame_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["asset_id"].to_numpy(zero_copy_only=False)
+        n_frames = batch["n_frames"].to_numpy()
+        out_ids, out_idx = [], []
+        for aid, n in zip(ids, n_frames):
+            idxs = np.arange(0, int(n), self.every_n)[: self.max_frames]
+            out_ids.extend([aid] * len(idxs))
+            out_idx.extend(idxs)
+        idx_arr = np.asarray(out_idx, dtype=np.int32)
+        return pa.table(
+            {
+                "asset_id": pa.array(out_ids, pa.string()),
+                "frame_idx": pa.array(idx_arr, pa.int32()),
+                "t_offset_ms": pa.array(idx_arr * np.int32(self.frame_ms), pa.int32()),
+            },
+            schema=FRAMES_SCHEMA,
+        )
