@@ -87,3 +87,33 @@ def test_cli_validate_subprocess(ray_session, tmp_path):
     res = json.loads(r.stdout.strip().splitlines()[-1])
     assert res["n_docs"] == 400
     assert os.path.exists(os.path.join(out, "verdicts.parquet"))
+
+
+def test_cli_validate_quarantine_and_profile(tmp_path):
+    # subprocess: owns its own Ray session; exercises --quarantine,
+    # --build-profile and the parser-config flags end-to-end
+    import json
+    import os
+    import subprocess
+    import sys
+
+    synth = subprocess.run(
+        [sys.executable, "-m", "zparse_ray.run", "synth", "--docs", "400",
+         "--partitions", "2", "--seed", "5", "--out-base", str(tmp_path / "synth")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert synth.returncode == 0, synth.stderr[-500:]
+    d = synth.stdout.strip().splitlines()[-1]
+    out = str(tmp_path / "out")
+    prof = str(tmp_path / "profile.json")
+    r = subprocess.run(
+        [sys.executable, "-m", "zparse_ray.run", "validate", "--input", d,
+         "--output", out, "--quarantine", "--build-profile", prof,
+         "--max-depth", "64"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["profile_path"] == prof and os.path.exists(prof)
+    assert os.path.isdir(os.path.join(out, "quarantine"))
+    assert json.load(open(prof))["kind_hist"]

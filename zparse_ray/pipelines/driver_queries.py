@@ -1395,6 +1395,50 @@ FROM events GROUP BY event_type
 """
 
 
+def quantiles_by_type(sf_dir: str):
+    """Grouped EXACT quantiles: per event_type p50/p90 of value via the
+    histogram-narrowing operator (stats.exact_quantiles) over a
+    per-type filtered stream — no map_groups materialization of a whole
+    group (a single hot type at 10^12 rows must never land in one
+    task). Oracle-checked against DuckDB's grouped quantile_disc."""
+    import math as _math
+
+    from ..stages.stats import exact_quantiles
+
+    types = sorted(
+        r["event_type"]
+        for r in _read(sf_dir, "events", ["event_type"]).groupby("event_type").count().take_all()
+    )
+    out = []
+    for ty in types:
+        ds = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            lambda t, ty=ty: t.filter(pc.equal(t["event_type"], ty)),
+            batch_format="pyarrow",
+        )
+        qs = exact_quantiles(ds, "value", [0.5, 0.9])
+        for q in (0.5, 0.9):
+            out.append(
+                {
+                    "event_type": ty,
+                    "q_scaled": int(round(q * 100)),
+                    "value_scaled": int(_math.floor(qs[q] * 100 + 0.5)),
+                }
+            )
+    return pa.Table.from_pylist(out)
+
+
+_GROUPQ_SQL = """
+WITH qv AS (
+  SELECT event_type, unnest([50, 90]) AS q_scaled,
+         unnest(quantile_disc(value, [0.5, 0.9])) AS v
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(q_scaled AS BIGINT) AS q_scaled,
+       CAST(FLOOR(v * 100 + 0.5) AS BIGINT) AS value_scaled
+FROM qv
+"""
+
+
 def drift_check(sf_dir: str):
     """D8 distribution drift: freeze a profile from a clean reference
     run, validate a shifted dataset against it, return per-partition
@@ -1656,6 +1700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_limit_top_lineitems": sort_limit_top_lineitems,
         "orders_lineitem_revenue": orders_lineitem_revenue,
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
+        "quantiles_by_type": quantiles_by_type,
         "null_type_hist": null_type_hist,
         "minmax_mean": minmax_mean,
         "distinct_counts": distinct_counts,
@@ -1722,6 +1767,7 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_quantiles": _TDIGEST_SQL,
         "orders_lineitem_revenue": _BIGJOIN_SQL,
         "ngram_jaccard_neardup": _NGRAM_JACCARD_SQL,
+        "quantiles_by_type": _GROUPQ_SQL,
         "csv_export_roundtrip": _CSVEXPORT_SQL,
         "bloom_uniqueness": _BLOOM_SQL,
     }

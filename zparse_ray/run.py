@@ -68,6 +68,17 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="CSV field delimiter for csv spans (default ',')",
     )
+    v.add_argument(
+        "--quarantine",
+        action="store_true",
+        help="capture full failing rows per partition under output/quarantine/",
+    )
+    v.add_argument(
+        "--build-profile",
+        default=None,
+        metavar="PATH",
+        help="after validating, freeze a drift reference profile to PATH",
+    )
 
     s = sub.add_parser("synth", help="generate a synthetic spans dataset")
     s.add_argument("--docs", type=int, default=100_000)
@@ -153,7 +164,13 @@ def main(argv: list[str] | None = None) -> int:
             drift_profile=args.drift_profile,
             max_span_bytes=args.max_span_bytes,
             parser_configs=parser_configs,
+            quarantine=args.quarantine,
         )
+        if args.build_profile:
+            from .pipelines.validate import build_profile
+
+            build_profile(args.output, args.build_profile)
+            res["profile_path"] = args.build_profile
         print(json.dumps(res))
         return 0
     finally:
