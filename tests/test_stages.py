@@ -355,3 +355,32 @@ def test_top_customers_shuffle_fallback_matches_broadcast(ray_session):
     a = top_customers("/root/testdata/sf0.001")
     b = top_customers("/root/testdata/sf0.001", broadcast_limit=0)  # force shuffle path
     assert a.equals(b)
+
+
+def test_exact_quantiles_edge_distributions(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from zparse_ray.stages.stats import exact_quantiles
+
+    rng = np.random.default_rng(11)
+    cases = {
+        "all_equal": np.full(5000, 7.25),
+        "two_values": np.where(rng.random(5000) < 0.3, -1.5, 2.5),
+        "negatives": -rng.lognormal(2, 1, 5000),
+        "huge_range": np.concatenate([rng.random(2000) * 1e-9, rng.random(2000) * 1e12]),
+        "tiny": np.array([3.0, 1.0, 2.0]),
+        "single": np.array([42.0]),
+        "integers_with_ties": rng.integers(0, 10, 5000).astype(np.float64),
+    }
+    qs = [0.01, 0.5, 0.99]
+    con = duckdb.connect()
+    for name, vals in cases.items():
+        ds = rd.from_arrow(pa.table({"x": vals}))
+        got = exact_quantiles(ds, "x", qs, n_bins=16, max_collect=50)
+        con.execute("DROP VIEW IF EXISTS t")
+        con.register("tt", pa.table({"x": vals}))
+        expect = con.execute(f"SELECT quantile_disc(x, {qs}) FROM tt").fetchone()[0]
+        con.unregister("tt")
+        for q, e in zip(qs, expect):
+            assert got[q] == e, (name, q, got[q], e)

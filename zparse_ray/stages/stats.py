@@ -135,14 +135,30 @@ def _hist_pass(ds, column: str, intervals: list[tuple[float, float, bool]], n_bi
         for qi, ((lo, hi, closed), e) in enumerate(zip(intervals, edges)):
             sel = v[_sel_mask(v, lo, hi, closed)]
             counts, _ = np.histogram(sel, bins=e)
-            rows.append({"qi": qi, "counts": counts.astype(np.int64)})
+            # local data min/max let the driver SNAP the next interval to
+            # the actual value range — without it, a bin whose values
+            # concentrate at one point narrows by only n_bins x in WIDTH
+            # per pass and can take hundreds of passes to isolate them
+            rows.append(
+                {
+                    "qi": qi,
+                    "counts": counts.astype(np.int64),
+                    "lmin": float(sel.min()) if len(sel) else np.inf,
+                    "lmax": float(sel.max()) if len(sel) else -np.inf,
+                }
+            )
         return pa.Table.from_pylist(rows)
 
     merged = [np.zeros(n_bins, dtype=np.int64) for _ in intervals]
+    lmins = [np.inf] * len(intervals)
+    lmaxs = [-np.inf] * len(intervals)
     for b in ds.map_batches(hist, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
         for r in b.to_pylist():
-            merged[r["qi"]] += np.asarray(r["counts"], dtype=np.int64)
-    return merged, edges
+            qi = r["qi"]
+            merged[qi] += np.asarray(r["counts"], dtype=np.int64)
+            lmins[qi] = min(lmins[qi], r["lmin"])
+            lmaxs[qi] = max(lmaxs[qi], r["lmax"])
+    return merged, edges, lmins, lmaxs
 
 
 def exact_quantiles(
@@ -187,15 +203,23 @@ def exact_quantiles(
     state = {q: [glo, ghi, True, max(0, math.ceil(q * n) - 1), n] for q in qs}
     out: dict[float, float] = {}
 
+    iters = 0
     while True:
         active = [q for q in qs if q not in out and state[q][4] > max_collect]
-        if not active:
+        if not active or iters >= 64:
+            # 64-pass cap: pathological spacing falls through to the
+            # collect phase (correct, just memory-heavier)
             break
+        iters += 1
         intervals = [(state[q][0], state[q][1], state[q][2]) for q in active]
-        merged, edges = _hist_pass(ds, column, intervals, n_bins)
+        merged, edges, lmins, lmaxs = _hist_pass(ds, column, intervals, n_bins)
         for qi, q in enumerate(active):
             lo, hi, closed, r, _ = state[q]
             counts, e = merged[qi], edges[qi]
+            if lmins[qi] >= lmaxs[qi]:
+                # the interval holds exactly one distinct value
+                out[q] = lmins[qi]
+                continue
             if hi <= lo or (hi - lo) < 1e-300:
                 out[q] = lo
                 continue
@@ -206,8 +230,17 @@ def exact_quantiles(
             if nhi <= nlo:
                 out[q] = nlo
                 continue
-            # child inherits closedness only as the LAST bin of a closed parent
-            state[q] = [nlo, nhi, closed and j == n_bins - 1, r - before, int(counts[j])]
+            nclosed = closed and j == n_bins - 1
+            # SNAP to the actual data range: values in bin j all lie in
+            # [max(nlo, lmin), min(nhi-, lmax)], so intersecting keeps
+            # the same value set while collapsing empty width — this is
+            # what bounds the pass count when values concentrate
+            if lmins[qi] > nlo:
+                nlo = lmins[qi]
+            if lmaxs[qi] < nhi:
+                nhi = lmaxs[qi]
+                nclosed = True  # lmax is attained, keep it inside
+            state[q] = [nlo, nhi, nclosed, r - before, int(counts[j])]
 
     rest = [q for q in qs if q not in out]
     if rest:
