@@ -384,3 +384,19 @@ def test_exact_quantiles_edge_distributions(ray_session):
         con.unregister("tt")
         for q, e in zip(qs, expect):
             assert got[q] == e, (name, q, got[q], e)
+
+
+def test_split_assignment_deterministic_and_balanced():
+    from zparse_ray.stages.textops import split_assign_batch
+
+    ids = np.arange(100_000, dtype=np.int64)
+    b = pa.table({"doc_id": pa.array(ids)})
+    s1 = split_assign_batch(b)["split"].to_pylist()
+    s2 = split_assign_batch(b)["split"].to_pylist()
+    assert s1 == s2  # pure function of the id
+    frac = s1.count("eval") / len(s1)
+    assert 0.03 < frac < 0.07  # ~5% with multiplicative-hash mixing
+    # order independence: shuffled input assigns identically per id
+    perm = np.random.default_rng(0).permutation(len(ids))
+    s3 = split_assign_batch(pa.table({"doc_id": pa.array(ids[perm])}))["split"].to_pylist()
+    assert all(s3[i] == s1[perm[i]] for i in range(0, len(ids), 997))

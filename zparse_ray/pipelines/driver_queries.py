@@ -1395,6 +1395,34 @@ FROM events GROUP BY event_type
 """
 
 
+def stratified_split_counts(sf_dir: str):
+    """Deterministic stratified train/eval split (textops.
+    split_assign_batch): Knuth multiplicative hash of doc_id mod 2^64,
+    bucketed to 100, eval = buckets < 5 — per (lang, split) counts,
+    oracle-checked (the hash is reproduced in SQL as HUGEINT
+    arithmetic). The split a training pipeline can re-derive anywhere."""
+    from ray.data.aggregate import Count
+
+    from ..stages.textops import split_assign_batch
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id", "lang"])
+        .map_batches(split_assign_batch, batch_format="pyarrow")
+        .groupby(["lang", "split"])
+        .aggregate(Count(alias_name="n_docs"))
+    )
+    return pa.Table.from_pylist(out.take_all())
+
+
+_SPLIT_SQL = """
+SELECT lang,
+       CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 18446744073709551616 % 100 < 5
+            THEN 'eval' ELSE 'train' END AS split,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
 def quantiles_by_type(sf_dir: str):
     """Grouped EXACT quantiles: per event_type p50/p90 of value via the
     histogram-narrowing operator (stats.exact_quantiles) over a
@@ -1701,6 +1729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_revenue": orders_lineitem_revenue,
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
         "quantiles_by_type": quantiles_by_type,
+        "stratified_split_counts": stratified_split_counts,
         "null_type_hist": null_type_hist,
         "minmax_mean": minmax_mean,
         "distinct_counts": distinct_counts,
@@ -1768,6 +1797,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_lineitem_revenue": _BIGJOIN_SQL,
         "ngram_jaccard_neardup": _NGRAM_JACCARD_SQL,
         "quantiles_by_type": _GROUPQ_SQL,
+        "stratified_split_counts": _SPLIT_SQL,
         "csv_export_roundtrip": _CSVEXPORT_SQL,
         "bloom_uniqueness": _BLOOM_SQL,
     }

@@ -134,3 +134,21 @@ def fingerprint_batch(batch: pa.Table, column: str = "text", window: int = 16) -
     wmin = s.map(rolling_min).astype("uint64")
     out = batch.append_column("content_hash", pa.array(full.astype(np.int64), pa.int64()))
     return out.append_column("fingerprint", pa.array(wmin.to_numpy().astype(np.int64), pa.int64()))
+
+
+def split_assign_batch(
+    batch: pa.Table,
+    *,
+    id_column: str = "doc_id",
+    eval_pct: int = 5,
+    out_column: str = "split",
+) -> pa.Table:
+    """Deterministic train/eval split: Knuth multiplicative hash of the
+    id (mod-2^64 wrap, SQL-reproducible as HUGEINT arithmetic mod
+    18446744073709551616) bucketed to 100; buckets < eval_pct are
+    'eval'. Stable across runs/workers/engines — the property a
+    training-data split needs (no RNG, no order dependence)."""
+    ids = batch[id_column].to_numpy().astype(np.uint64)
+    bucket = (ids * np.uint64(2654435761)) % np.uint64(100)
+    split = np.where(bucket < eval_pct, "eval", "train")
+    return batch.append_column(out_column, pa.array(split, pa.string()))
