@@ -70,9 +70,11 @@ def _headline(sf_dir: str, n_cpus: int) -> dict:
 
     out_dir = f"/tmp/zparse_ray_bench_out_{n_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
+    steal0 = _cpu_jiffies()
     t0 = time.time()
     res = run_validation(spans_dir, out_dir, round_trip=False, resume=False)
     t_validate = time.time() - t0
+    steal_frac = _steal_fraction(steal0, _cpu_jiffies())
 
     queries: dict[str, float] = {"validate": round(t_validate, 3)}
     qnames = [] if os.environ.get("BENCH_SKIP_QUERIES") else [
@@ -100,7 +102,22 @@ def _headline(sf_dir: str, n_cpus: int) -> dict:
         "queries": queries,
         "sf": sf,
         "num_cpus": n_cpus,
+        # hypervisor steal fraction DURING the validate window — runs on
+        # this shared VM are contaminated when neighbors spike; the
+        # scaling harness screens on this
+        "steal_frac": steal_frac,
     }
+
+
+def _cpu_jiffies() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
+def _steal_fraction(before: list[int], after: list[int]) -> float:
+    d = [b - a for a, b in zip(before, after)]
+    total = sum(d)
+    return round(d[7] / total, 4) if total and len(d) > 7 else 0.0
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -136,10 +153,17 @@ def main() -> None:
         #     density-controlled one (the cluster-faithful estimate),
         #     `value_raw` the uncontrolled same-box number.
         rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
+        # a run is CLEAN when hypervisor steal during its validate window
+        # stayed under this fraction; contaminated runs (neighbor VMs
+        # spiking) are excluded from the efficiency estimate — they hit
+        # the 32-CPU level hardest (8 busy cores can dodge steal, 32
+        # cannot), which otherwise deflates the ratio arbitrarily
+        steal_clean = float(os.environ.get("SCALING_STEAL_CLEAN", "0.05"))
         host_cores = os.cpu_count() or 32
         levels = [("8raw", 8, 0), ("8dense", 8, max(0, host_cores - 8)), ("32", 32, 0)]
         times: dict[str, list[float]] = {k: [] for k, _, _ in levels}
         rates: dict[str, list[float]] = {k: [] for k, _, _ in levels}
+        steals: dict[str, list[float]] = {k: [] for k, _, _ in levels}
         last = {}
         repo = os.path.dirname(os.path.abspath(__file__))
         spin_src = (
@@ -176,9 +200,17 @@ def main() -> None:
                 last[key] = r
                 times[key].append(r["validate_sec"])
                 rates[key].append(r["value"])
-        t32 = min(times["32"])
-        eff_dense = (min(times["8dense"]) / t32) / (32 / 8)
-        eff_raw = (min(times["8raw"]) / t32) / (32 / 8)
+                steals[key].append(r.get("steal_frac", 0.0))
+
+        def best(key: str) -> tuple[float, bool]:
+            clean = [t for t, s in zip(times[key], steals[key]) if s <= steal_clean]
+            return (min(clean), True) if clean else (min(times[key]), False)
+
+        t32, c32 = best("32")
+        t8d, c8d = best("8dense")
+        t8r, c8r = best("8raw")
+        eff_dense = (t8d / t32) / (32 / 8)
+        eff_raw = (t8r / t32) / (32 / 8)
         print(
             json.dumps(
                 {
@@ -190,12 +222,17 @@ def main() -> None:
                     "docs_per_sec_8": max(rates["8raw"]),
                     "docs_per_sec_8_dense": max(rates["8dense"]),
                     "docs_per_sec_32": max(rates["32"]),
-                    "validate_sec_8": min(times["8raw"]),
-                    "validate_sec_8_dense": min(times["8dense"]),
+                    "validate_sec_8": t8r,
+                    "validate_sec_8_dense": t8d,
                     "validate_sec_32": t32,
                     "all_sec_8": times["8raw"],
                     "all_sec_8_dense": times["8dense"],
                     "all_sec_32": times["32"],
+                    "steal_8": steals["8raw"],
+                    "steal_8_dense": steals["8dense"],
+                    "steal_32": steals["32"],
+                    "all_levels_clean": bool(c32 and c8d and c8r),
+                    "steal_clean_threshold": steal_clean,
                     "sf": last["32"]["sf"],
                 }
             )
