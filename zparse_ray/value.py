@@ -17,6 +17,15 @@ is native types:
                                    value.rs:30-35)
 
 Only TOML produces ``TomlDatetime``; all other formats use the first six.
+
+The reference's Object/Array accessor surface (is_*/as_*/get/insert/
+remove/keys/iter — value.rs:39-296) maps to Python's own isinstance /
+dict / list operations and is deliberately not wrapped. One documented
+divergence: the reference's ``Object::remove`` is IndexMap swap_remove
+(order-CHANGING, value.rs:266-268); Python ``del d[k]`` preserves the
+remaining order. Nothing in the reference's parse/convert pipeline
+removes keys, so this is unobservable except to library users mutating
+values — who get the saner Python semantics.
 """
 
 from __future__ import annotations
