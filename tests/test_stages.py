@@ -400,3 +400,31 @@ def test_split_assignment_deterministic_and_balanced():
     perm = np.random.default_rng(0).permutation(len(ids))
     s3 = split_assign_batch(pa.table({"doc_id": pa.array(ids[perm])}))["split"].to_pylist()
     assert all(s3[i] == s1[perm[i]] for i in range(0, len(ids), 997))
+
+
+def test_range_count_join_matches_bruteforce(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from zparse_ray.stages.joins import range_count_join
+
+    rng = np.random.default_rng(13)
+    W = 1000  # interval width in "us"
+    starts = rng.integers(0, 20_000, 300)
+    groups = (starts % 7).astype(str)
+    pts = rng.integers(0, 21_000, 5000)
+    intervals = rd.from_arrow(pa.table({
+        "s": pa.array(starts, pa.int64()), "g": pa.array(groups, pa.string()),
+    }))
+    points = rd.from_arrow(pa.table({"t": pa.array(pts, pa.int64())}))
+    out = range_count_join(
+        intervals, points, start_col="s", ts_col="t", group_col="g", width_us=W
+    )
+    got = {r["group"]: r["n_hits"] for r in out.take_all()}
+    want: dict[str, int] = {}
+    spts = np.sort(pts)
+    for s, g in zip(starts, groups):
+        c = int(np.searchsorted(spts, s + W) - np.searchsorted(spts, s))
+        if c:
+            want[g] = want.get(g, 0) + c
+    assert got == want

@@ -1411,6 +1411,60 @@ FROM events GROUP BY event_type
 """
 
 
+def events_range_join(sf_dir: str):
+    """Range join: for every signup event's interval [ts, ts + 1 hour)
+    count ALL events inside it, aggregated per user bucket — the
+    interval-bucket join (stages/joins.py::range_count_join: one
+    groupby(time-bucket) shuffle, searchsorted counts per bucket, <=2
+    bucket copies per interval; never the cross-join blowup).
+    Oracle-checked against DuckDB's native range join."""
+    from ..stages.joins import range_count_join
+
+    def signup_intervals(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t["event_type"], "signup"))
+        buckets = sel["user_id"].to_numpy(zero_copy_only=False) % 10
+        return pa.table(
+            {
+                "ts": sel["ts"],
+                "user_bucket": pa.array([str(b) for b in buckets], pa.string()),
+            }
+        )
+
+    intervals = _read(sf_dir, "events", ["ts", "user_id", "event_type"]).map_batches(
+        signup_intervals, batch_format="pyarrow"
+    )
+    points = _read(sf_dir, "events", ["ts"])
+    hour_us = 3600 * 1_000_000
+    out = range_count_join(
+        intervals, points, start_col="ts", ts_col="ts",
+        group_col="user_bucket", width_us=hour_us,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_bucket": pc.cast(t["group"], pa.int64()),
+                "n_hits": t["n_hits"],
+            }
+        )
+
+    res = pa.Table.from_pylist(out.map_batches(finish, batch_format="pyarrow").take_all())
+    if res.num_rows == 0:
+        return pa.table(
+            {"user_bucket": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
+        )
+    return res
+
+
+_RANGEJOIN_SQL = """
+SELECT CAST(s.user_id % 10 AS BIGINT) AS user_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM (SELECT ts, user_id FROM events WHERE event_type = 'signup') s
+JOIN events e ON e.ts >= s.ts AND e.ts < s.ts + INTERVAL 1 HOUR
+GROUP BY 1
+"""
+
+
 def stratified_split_counts(sf_dir: str):
     """Deterministic stratified train/eval split (textops.
     split_assign_batch): Knuth multiplicative hash of doc_id mod 2^64,
@@ -1746,6 +1800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
         "quantiles_by_type": quantiles_by_type,
         "stratified_split_counts": stratified_split_counts,
+        "events_range_join": events_range_join,
         "null_type_hist": null_type_hist,
         "minmax_mean": minmax_mean,
         "distinct_counts": distinct_counts,
@@ -1814,6 +1869,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_neardup": _NGRAM_JACCARD_SQL,
         "quantiles_by_type": _GROUPQ_SQL,
         "stratified_split_counts": _SPLIT_SQL,
+        "events_range_join": _RANGEJOIN_SQL,
         "csv_export_roundtrip": _CSVEXPORT_SQL,
         "bloom_uniqueness": _BLOOM_SQL,
     }

@@ -112,3 +112,96 @@ def broadcast_join(ds, small_df: pd.DataFrame, *, left_on: str, right_on: str, h
         return pa.Table.from_pandas(m, preserve_index=False)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def range_count_join(
+    intervals_ds,
+    points_ds,
+    *,
+    start_col: str,
+    ts_col: str,
+    group_col: str,
+    width_us: int,
+):
+    """Range join (count form): for each interval [start, start+width)
+    count the points whose timestamp falls inside, aggregated per
+    `group_col`. Distributed as an interval-bucket join: the time axis
+    is bucketed at `width_us` granularity, so every interval overlaps at
+    most TWO buckets (it is exactly one bucket wide) and every point
+    exactly one — ONE groupby(bucket) shuffle co-locates them, and each
+    bucket does a vectorized searchsorted count of ITS OWN points per
+    interval (each (interval, point) pair is counted once because the
+    point exists in exactly one bucket). Per-bucket partials then sum in
+    a tiny keyed aggregate. No interval ever sees points outside its two
+    buckets — the all-pairs blowup a naive cross join would have."""
+    import pyarrow.compute as pc
+
+    W = width_us
+
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[start_col], pa.int64()).to_numpy()
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        b0 = s // W
+        b1 = (s + W - 1) // W
+        two = b1 != b0
+        starts = np.concatenate([s, s[two]])
+        groups = np.concatenate([g, g[two]])
+        buckets = np.concatenate([b0, b1[two]])
+        return pa.table(
+            {
+                "__bucket": pa.array(buckets, pa.int64()),
+                "__start": pa.array(starts, pa.int64()),
+                "__group": pa.array(groups.astype(object), pa.string()),
+                "__ts": pa.nulls(len(starts), pa.int64()),
+                "__side": pa.array(np.zeros(len(starts), dtype=np.int8), pa.int8()),
+            }
+        )
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy()
+        n = len(ts)
+        return pa.table(
+            {
+                "__bucket": pa.array(ts // W, pa.int64()),
+                "__start": pa.nulls(n, pa.int64()),
+                "__group": pa.nulls(n, pa.string()),
+                "__ts": pa.array(ts, pa.int64()),
+                "__side": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    ti = intervals_ds.map_batches(tag_intervals, batch_format="pyarrow")
+    tp = points_ds.map_batches(tag_points, batch_format="pyarrow")
+
+    def count_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lmask = pc.equal(t["__side"], 0)
+        iv = t.filter(lmask)
+        ts = np.sort(t.filter(pc.invert(lmask))["__ts"].to_numpy(zero_copy_only=False).astype(np.int64))
+        if not len(ts) or not iv.num_rows:
+            return pa.table({"group": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        starts = iv["__start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        groups = iv["__group"].to_numpy(zero_copy_only=False)
+        counts = np.searchsorted(ts, starts + W) - np.searchsorted(ts, starts)
+        out: dict[str, int] = {}
+        for grp, c in zip(groups, counts):
+            if c:
+                out[grp] = out.get(grp, 0) + int(c)
+        return pa.table(
+            {
+                "group": pa.array(list(out), pa.string()),
+                "n_part": pa.array(list(out.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ti.union(tp)
+        .groupby("__bucket")
+        .map_groups(count_bucket, batch_format="pyarrow")
+        .groupby("group")
+        .aggregate(Sum("n_part", alias_name="n_hits"))
+    )
