@@ -142,10 +142,10 @@ def main() -> None:
         #     which deflates (t8/t32)/4 in a way that cannot happen on a
         #     real N- vs 4N-NODE cluster (per-node load is identical at
         #     both sizes). The '8+spin' variant therefore ALSO runs the
-        #     8-CPU job with the other 24 cores occupied by nice-19
+        #     8-CPU job with the other 24 cores occupied by default-priority
         #     spinner processes, holding box occupancy — and so per-core
         #     frequency — constant across levels. The spinners run the
-        #     REAL grammar walk (nice-19), not an empty register loop,
+        #     REAL grammar walk at default priority, not an empty loop,
         #     so LLC/DRAM contention is also equal across levels — on a
         #     4N-node cluster every node keeps the same per-core compute
         #     AND memory conditions at both sizes, and this reproduces
@@ -165,10 +165,13 @@ def main() -> None:
         rates: dict[str, list[float]] = {k: [] for k, _, _ in levels}
         steals: dict[str, list[float]] = {k: [] for k, _, _ in levels}
         last = {}
+        # spinners run at DEFAULT priority: on the real N-node cluster
+        # every peer core runs equal-priority work, so nice-19 spinners
+        # (which yield to the measured workers) made the 8-CPU condition
+        # unfairly fast and UNDERSTATED efficiency
         repo = os.path.dirname(os.path.abspath(__file__))
         spin_src = (
             "import os, sys\n"
-            "os.nice(19)\n"
             f"sys.path.insert(0, {repo!r})\n"
             "from zparse_ray.functions.toml_parser import parse_toml\n"
             "from zparse_ray.functions.json_parser import parse_json\n"

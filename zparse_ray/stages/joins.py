@@ -133,7 +133,15 @@ def range_count_join(
     interval (each (interval, point) pair is counted once because the
     point exists in exactly one bucket). Per-bucket partials then sum in
     a tiny keyed aggregate. No interval ever sees points outside its two
-    buckets — the all-pairs blowup a naive cross join would have."""
+    buckets — the all-pairs blowup a naive cross join would have.
+
+    Skew: one task holds one time-bucket's rows; a hot bucket (all
+    points in one width-window) concentrates there. The searchsorted
+    count is O((n_iv + n_pt) log n_pt) per bucket — compute stays cheap
+    even for hot buckets; if a single bucket's ROWS outgrow a task,
+    shrink width_us and split intervals into more copies (width/bucket
+    ratio k -> k+1 copies per interval), trading shuffle volume for
+    balance."""
     import pyarrow.compute as pc
 
     W = width_us
