@@ -319,6 +319,69 @@ GROUP BY o_orderpriority
 """
 
 
+def part_semi_anti_join(sf_dir: str):
+    """Semi/anti join: per brand, how many parts DO and DON'T appear in
+    lineitem. The small side here is the DISTINCT key set (l_partkey),
+    broadcast once via ray.put and membership-tested per batch with a
+    sorted-array searchsorted — the same broadcast-key-set pattern the
+    flagship uses for media_ref integrity (D7). At 10^12 scale with an
+    unbounded key set this becomes the bucketed shuffle join instead
+    (size guard as in top_customers). Oracle-checked."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    keys = (
+        _read(sf_dir, "lineitem", ["l_partkey"])
+        .groupby("l_partkey")
+        .count()
+        .select_columns(["l_partkey"])
+        .take_all()
+    )
+    key_arr = np.sort(np.array([r["l_partkey"] for r in keys], dtype=np.int64))
+    ref = ray.put(key_arr)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        pk = t["p_partkey"].to_numpy()
+        pos = np.clip(np.searchsorted(ks, pk), 0, len(ks) - 1)
+        hit = (ks[pos] == pk).astype(np.int64) if len(ks) else np.zeros(len(pk), np.int64)
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "in_li": pa.array(hit, pa.int64()),
+                "not_in_li": pa.array(1 - hit, pa.int64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "part", ["p_partkey", "p_brand"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("in_li", alias_name="n_with_lineitems"),
+            Sum("not_in_li", alias_name="n_without_lineitems"),
+        )
+    )
+    t = pa.Table.from_pylist(out.take_all())
+    return pa.table(
+        {
+            "p_brand": t["p_brand"],
+            "n_with_lineitems": pc.cast(t["n_with_lineitems"], pa.int64()),
+            "n_without_lineitems": pc.cast(t["n_without_lineitems"], pa.int64()),
+        }
+    )
+
+
+_SEMIANTI_SQL = """
+SELECT p_brand,
+       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_lineitems,
+       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_without_lineitems
+FROM part GROUP BY p_brand
+"""
+
+
 def sort_limit_top_lineitems(sf_dir: str):
     """Global sort + limit with deterministic tie-break."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
@@ -1801,6 +1864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_by_type": quantiles_by_type,
         "stratified_split_counts": stratified_split_counts,
         "events_range_join": events_range_join,
+        "part_semi_anti_join": part_semi_anti_join,
         "null_type_hist": null_type_hist,
         "minmax_mean": minmax_mean,
         "distinct_counts": distinct_counts,
@@ -1870,6 +1934,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_by_type": _GROUPQ_SQL,
         "stratified_split_counts": _SPLIT_SQL,
         "events_range_join": _RANGEJOIN_SQL,
+        "part_semi_anti_join": _SEMIANTI_SQL,
         "csv_export_roundtrip": _CSVEXPORT_SQL,
         "bloom_uniqueness": _BLOOM_SQL,
     }
