@@ -1556,6 +1556,47 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def events_user_gaps(sf_dir: str):
+    """LAG-window analog: count and total of consecutive-event gaps per
+    user (ts-sorted map_groups per user emits an integer µs partial —
+    exact int64 arithmetic, no float summation), reduced to one row.
+    Oracle-checked against DuckDB's LAG window + epoch_us."""
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        ts = df["ts"].to_numpy()  # datetime64 at whatever resolution pandas kept
+        if len(ts) < 2:
+            return pd.DataFrame({"n": [0], "total_us": [0]})
+        d_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        return pd.DataFrame({"n": [len(d_us)], "total_us": [int(d_us.sum())]})
+
+    parts = (
+        _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+        .groupby("user_id")
+        .map_groups(gaps, batch_format="pandas")
+        .take_all()
+    )
+    return pa.Table.from_pylist(
+        [
+            {
+                "n_gaps": int(sum(r["n"] for r in parts)),
+                "total_gap_us": int(sum(r["total_us"] for r in parts)),
+            }
+        ]
+    )
+
+
+_USERGAPS_SQL = """
+WITH g AS (
+  SELECT ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(SUM(epoch_us(gap)) AS BIGINT) AS total_gap_us
+FROM g
+"""
+
+
 def quantiles_by_type(sf_dir: str):
     """Grouped EXACT quantiles: per event_type p50/p90 of value via the
     histogram-narrowing operator (stats.exact_quantiles) over a
@@ -1865,6 +1906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_split_counts": stratified_split_counts,
         "events_range_join": events_range_join,
         "part_semi_anti_join": part_semi_anti_join,
+        "events_user_gaps": events_user_gaps,
         "null_type_hist": null_type_hist,
         "minmax_mean": minmax_mean,
         "distinct_counts": distinct_counts,
@@ -1935,6 +1977,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_split_counts": _SPLIT_SQL,
         "events_range_join": _RANGEJOIN_SQL,
         "part_semi_anti_join": _SEMIANTI_SQL,
+        "events_user_gaps": _USERGAPS_SQL,
         "csv_export_roundtrip": _CSVEXPORT_SQL,
         "bloom_uniqueness": _BLOOM_SQL,
     }
