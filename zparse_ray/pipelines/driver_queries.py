@@ -1558,21 +1558,35 @@ FROM documents GROUP BY 1, 2
 
 def events_user_gaps(sf_dir: str):
     """LAG-window analog: count and total of consecutive-event gaps per
-    user (ts-sorted map_groups per user emits an integer µs partial —
-    exact int64 arithmetic, no float summation), reduced to one row.
-    Oracle-checked against DuckDB's LAG window + epoch_us."""
+    user, reduced to one row — integer-exact µs arithmetic, no float
+    summation. Scale shape: users are co-located by hash(user) % 64
+    BUCKETS (not one group per user — millions of tiny map_groups calls
+    is the anti-pattern); each bucket sorts once by (user, ts, event_id)
+    and masks user boundaries in a vectorized diff. Oracle-checked
+    against DuckDB's LAG window + epoch_us."""
+
+    def bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy()
+        return t.append_column(
+            "__bucket", pa.array((uid % 64).astype(np.int64), pa.int64())
+        )
 
     def gaps(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
-        ts = df["ts"].to_numpy()  # datetime64 at whatever resolution pandas kept
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        ts = df["ts"].to_numpy()
+        uid = df["user_id"].to_numpy()
         if len(ts) < 2:
             return pd.DataFrame({"n": [0], "total_us": [0]})
         d_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-        return pd.DataFrame({"n": [len(d_us)], "total_us": [int(d_us.sum())]})
+        same_user = uid[1:] == uid[:-1]
+        return pd.DataFrame(
+            {"n": [int(same_user.sum())], "total_us": [int(d_us[same_user].sum())]}
+        )
 
     parts = (
         _read(sf_dir, "events", ["user_id", "event_id", "ts"])
-        .groupby("user_id")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
         .map_groups(gaps, batch_format="pandas")
         .take_all()
     )
