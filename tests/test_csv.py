@@ -144,3 +144,15 @@ def test_unterminated_with_escaped_quotes_stays_unterminated():
     with pytest.raises(ParseError) as e:
         parse_csv('a,b\n"ab""cd,2\n')
     assert "unterminated" in e.value.message
+
+
+def test_whitespace_delimiter_after_quoted_field():
+    # regression (ADVICE r2): with a whitespace delimiter the trailing-ws
+    # skip after a closing quote must NOT consume the delimiter itself
+    # (csv/parser.rs: skip whitespace after closing quote but not the delim)
+    assert parse_csv('a\tb\n"x"\t2\n', CsvConfig(delimiter="\t")) == [{"a": "x", "b": 2.0}]
+    assert parse_csv('a b\n"x" 2\n', CsvConfig(delimiter=" ")) == [{"a": "x", "b": 2.0}]
+    # other whitespace after the quote is still skipped before the delimiter
+    assert parse_csv('a,b\n"x" \t,2\n') == [{"a": "x", "b": 2.0}]
+    # space before a tab delimiter is fine; tab before a space delimiter too
+    assert parse_csv('a\tb\n"x" \t2\n', CsvConfig(delimiter="\t")) == [{"a": "x", "b": 2.0}]

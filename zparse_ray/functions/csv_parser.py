@@ -92,25 +92,33 @@ def _invalid(msg: str, offset: int = 0) -> ParseError:
 
 # atomic group (Python 3.11+): no backtracking out of the field body, so
 # an unterminated `"ab""cd` fails the whole match (-> unterminated error)
-# instead of backtracking into a bogus shorter field + junk-after-quote
-_QUOTED_RE = re.compile(r'"((?>(?:[^"]|"")*))"[ \t\x0c]*')
+# instead of backtracking into a bogus shorter field + junk-after-quote.
+# The trailing-whitespace class is built per delimiter: the reference skips
+# space/tab/formfeed after a closing quote "but NOT the delimiter"
+# (csv/parser.rs:252-266), so a whitespace delimiter must be excluded or
+# the pattern would eat it and misreport junk-after-quote.
+def _quoted_re(delim: str) -> re.Pattern:
+    ws = "".join(c for c in " \t\x0c" if c != delim)
+    tail = f"[{re.escape(ws)}]*" if ws else ""
+    return re.compile(r'"((?>(?:[^"]|"")*))"' + tail)
 
 
 class _CsvParser:
-    __slots__ = ("text", "n", "delim", "unquoted_re")
+    __slots__ = ("text", "n", "delim", "unquoted_re", "quoted_re")
 
     def __init__(self, text: str, delim: str):
         self.text = text
         self.n = len(text)
         self.delim = delim
         self.unquoted_re = re.compile(f"[^{re.escape(delim)}\r\n]*")
+        self.quoted_re = _quoted_re(delim)
 
     def parse_field(self, i: int) -> tuple[str, bool, int]:
         text, n, delim = self.text, self.n, self.delim
         if i >= n or text[i] == delim or text[i] in "\r\n":
             return "", False, i
         if text[i] == '"':  # quoted field: one C-level match + replace
-            m = _QUOTED_RE.match(text, i)
+            m = self.quoted_re.match(text, i)
             if m is None:
                 raise _invalid("unterminated quoted CSV field", i + 1)
             j = m.end()
