@@ -428,3 +428,62 @@ def test_range_count_join_matches_bruteforce(ray_session):
         if c:
             want[g] = want.get(g, 0) + c
     assert got == want
+
+
+def test_grouped_exact_ranks_match_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from zparse_ray.stages.stats import grouped_exact_ranks
+
+    rng = np.random.default_rng(7)
+    # three skewed groups: lognormal, heavy ties, integer lattice
+    gs = np.repeat(["a", "b", "c"], [12_000, 6_000, 3_000])
+    vals = np.concatenate(
+        [
+            rng.lognormal(3, 1.5, 12_000),
+            np.where(rng.random(6_000) < 0.5, 42.0, rng.integers(0, 20, 6_000)),
+            rng.integers(-50, 50, 3_000).astype(np.float64),
+        ]
+    )
+    ds = rd.from_arrow(pa.table({"g": gs, "x": vals}))
+    import math
+
+    qs = [0.1, 0.5, 0.9]
+    # max_collect=100 forces several shared narrowing passes per group
+    values, group_n = grouped_exact_ranks(
+        ds,
+        "x",
+        "g",
+        lambda n: sorted({max(0, math.ceil(q * n) - 1) for q in qs}),
+        n_bins=32,
+        max_collect=100,
+    )
+    con = duckdb.connect()
+    con.register("t", pa.table({"g": gs, "x": vals}))
+    rows = con.execute(
+        f"SELECT g, quantile_disc(x, {qs}) FROM t GROUP BY g"
+    ).fetchall()
+    assert set(group_n) == {"a", "b", "c"}
+    for g, expect in rows:
+        n = group_n[g]
+        for q, e in zip(qs, expect):
+            rank = max(0, math.ceil(q * n) - 1)
+            assert values[(g, rank)] == e, (g, q, values[(g, rank)], e)
+
+
+def test_grouped_exact_ranks_median_interpolation(ray_session):
+    import ray.data as rd
+
+    from zparse_ray.stages.stats import grouped_exact_ranks
+
+    # even-count group needs two middle ranks (np.median interpolation)
+    ds = rd.from_arrow(
+        pa.table({"g": ["e"] * 4 + ["o"] * 3, "x": [1.0, 2.0, 10.0, 3.0, 5.0, 7.0, 6.0]})
+    )
+    values, group_n = grouped_exact_ranks(
+        ds, "x", "g", lambda n: sorted({(n - 1) // 2, n // 2}), n_bins=8, max_collect=1
+    )
+    med_e = (values[("e", 1)] + values[("e", 2)]) / 2
+    med_o = values[("o", 1)]
+    assert med_e == 2.5 and med_o == 6.0

