@@ -70,3 +70,50 @@ def test_frame_sampler_stride_and_cap():
     assert [r["frame_idx"] for r in xs] == [0, 10, 20]
     assert len(ys) == 5  # capped
     assert ys[1]["t_offset_ms"] == 400
+
+
+def test_png_codec_round_trip_all_filters():
+    import numpy as np
+
+    from zparse_ray.functions.png_codec import PngError, decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for shape in [(7, 5), (16, 9, 3), (4, 4, 4), (1, 1), (2, 3, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for ft in range(5):
+            w, h, back = decode_png(encode_png(img, filter_type=ft))
+            assert (w, h) == (shape[1], shape[0])
+            assert back.shape == img.shape and (back == img).all(), (shape, ft)
+    # corrupt CRC rejected
+    import pytest
+
+    data = bytearray(encode_png(rng.integers(0, 256, (4, 4), dtype=np.uint8)))
+    data[-5] ^= 0xFF
+    with pytest.raises(PngError):
+        decode_png(bytes(data))
+    with pytest.raises(PngError):
+        decode_png(b"not a png at all")
+
+
+def test_media_extractor_png_decoder_real_pixels():
+    import numpy as np
+    import pyarrow as pa
+
+    from zparse_ray.functions.png_codec import encode_png
+    from zparse_ray.stages.multimodal import MediaFeatureExtractor
+
+    # flat grey 100 image: pooled features are equal, and the stage
+    # unit-normalizes, so every entry must be 1/sqrt(64) = 1/8
+    img = np.full((16, 16), 100, dtype=np.uint8)
+    batch = pa.table(
+        {
+            "asset_id": pa.array(["a1"], pa.string()),
+            "kind": pa.array(["image"], pa.string()),
+            "payload": pa.array([encode_png(img)], pa.binary()),
+        }
+    )
+    out = MediaFeatureExtractor(decoder="png")(batch)
+    assert out["width"][0].as_py() == 16 and out["height"][0].as_py() == 16
+    feats = np.asarray(out["feature"][0].as_py())
+    assert np.allclose(feats, 1 / 8)
+    assert out["n_frames"][0].as_py() == 1

@@ -487,3 +487,71 @@ def test_grouped_exact_ranks_median_interpolation(ray_session):
     med_e = (values[("e", 1)] + values[("e", 2)]) / 2
     med_o = values[("o", 1)]
     assert med_e == 2.5 and med_o == 6.0
+
+
+def test_bucketed_semi_mark_matches_isin(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from zparse_ray.stages.joins import bucketed_semi_mark
+
+    rng = np.random.default_rng(11)
+    left_keys = rng.integers(0, 500, 400)
+    brands = rng.integers(0, 5, 400)
+    right = rng.integers(250, 750, 2_000)  # half-overlapping, with dups
+    lds = rd.from_arrow(
+        pa.table({"k": pa.array(left_keys, pa.int64()), "b": pa.array(brands, pa.int64())})
+    )
+    kds = rd.from_arrow(pa.table({"rk": pa.array(right, pa.int64())}))
+    out = bucketed_semi_mark(lds, kds, left_on="k", key_col="rk", n_buckets=8)
+    df = pd.DataFrame(out.take_all()).sort_values(["k", "b"]).reset_index(drop=True)
+    expect = pd.DataFrame({"k": left_keys, "b": brands})
+    expect["__hit"] = np.isin(left_keys, right).astype(np.int64)
+    expect = expect.sort_values(["k", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(df[["k", "b", "__hit"]], expect)
+
+
+def test_part_semi_anti_shuffle_fallback_matches_broadcast(ray_session):
+    import pandas as pd
+
+    from zparse_ray.pipelines.driver_queries import part_semi_anti_join
+
+    sf = "/root/testdata/sf0.001"
+    bc = part_semi_anti_join(sf).to_pandas().sort_values("p_brand").reset_index(drop=True)
+    sh = (
+        part_semi_anti_join(sf, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("p_brand")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bc, sh)
+
+
+def test_resolve_n_buckets_scales():
+    from zparse_ray.stages.joins import resolve_n_buckets
+
+    assert resolve_n_buckets(None) == 64
+    assert resolve_n_buckets(1_000, None) == 64
+    assert resolve_n_buckets(1_000_000_000, None) == 501
+    assert resolve_n_buckets(10**13, None) == 4096  # capped
+    assert resolve_n_buckets(10**13, 128) == 128  # explicit wins
+
+
+def test_candidate_pair_caps_emit_truncation_markers():
+    import pandas as pd
+
+    from zparse_ray.stages.dedup import lsh_candidate_pairs, simhash_candidate_pairs
+
+    g = pd.DataFrame({"doc_id": np.arange(100)})
+    out = lsh_candidate_pairs(g)
+    markers = out[out["a"] < 0]
+    assert len(markers) == 1 and int(markers["n_dropped"].iloc[0]) == 36
+    assert (out[out["a"] >= 0]["n_dropped"] == 0).all()
+    # uncapped bucket: no marker
+    small = lsh_candidate_pairs(pd.DataFrame({"doc_id": np.arange(10)}))
+    assert (small["a"] >= 0).all() and (small["n_dropped"] == 0).all()
+
+    g2 = pd.DataFrame({"doc_id": np.arange(70), "simhash": np.zeros(70, dtype=np.int64)})
+    out2 = simhash_candidate_pairs(g2)
+    m2 = out2[out2["a"] < 0]
+    assert len(m2) == 1 and int(m2["n_dropped"].iloc[0]) == 6

@@ -103,15 +103,26 @@ class MinHasher:
 
 def lsh_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
     """map_groups body over (band_id, band_hash) groups: all doc pairs
-    in a bucket become candidates (bucket sizes are tiny in practice;
-    pathological buckets are truncated and logged via the cap)."""
+    in a bucket become candidates. Pathological (hot) buckets are capped
+    at 64 docs, and the truncation is NOT silent (ADVICE r2): a capped
+    bucket emits one marker row ``(a=-1, b=-1, n_dropped=k)`` so callers
+    can aggregate the recall loss; normal pair rows carry
+    ``n_dropped=0``."""
     ids = np.unique(group["doc_id"].to_numpy())
     if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": []})
+        return pd.DataFrame({"a": [], "b": [], "n_dropped": []})
     cap = 64  # salt/cap pathological buckets
+    n_dropped = max(0, len(ids) - cap)
     ids = ids[:cap]
     ii, jj = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+    a = ids[ii].astype(np.int64)
+    b = ids[jj].astype(np.int64)
+    nd = np.zeros(len(a), dtype=np.int64)
+    if n_dropped:
+        a = np.append(a, -1)
+        b = np.append(b, -1)
+        nd = np.append(nd, n_dropped)
+    return pd.DataFrame({"a": a, "b": b, "n_dropped": nd})
 
 
 class SimHasher:
@@ -167,12 +178,16 @@ def simhash_band_explode(batch: pa.Table, *, n_bands: int = 4) -> pa.Table:
 def simhash_candidate_pairs(group: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
     """map_groups body over (band_id, band_bits) buckets: exact-hamming
     verify within the bucket; emits (a, b, hamming) pairs <= max_hamming.
-    Bucket sizes are capped like lsh_candidate_pairs."""
+    Bucket sizes are capped like lsh_candidate_pairs, and a capped
+    bucket emits a ``(a=-1, b=-1, hamming=-1, n_dropped=k)`` marker row
+    so truncation is visible to callers (ADVICE r2); normal rows carry
+    ``n_dropped=0``."""
     sub = group.drop_duplicates("doc_id").sort_values("doc_id")
     ids = sub["doc_id"].to_numpy()
     if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        return pd.DataFrame({"a": [], "b": [], "hamming": [], "n_dropped": []})
     cap = 64
+    n_dropped = max(0, len(ids) - cap)
     ids = ids[:cap]
     sims = sub["simhash"].to_numpy()[:cap].astype(np.uint64)
     ii, jj = np.triu_indices(len(ids), k=1)
@@ -182,10 +197,13 @@ def simhash_candidate_pairs(group: pd.DataFrame, max_hamming: int = 3) -> pd.Dat
         ham += (x & np.uint64(1)).astype(np.int64)
         x >>= np.uint64(1)
     m = ham <= max_hamming
-    return pd.DataFrame(
-        {
-            "a": ids[ii[m]].astype(np.int64),
-            "b": ids[jj[m]].astype(np.int64),
-            "hamming": ham[m],
-        }
-    )
+    a = ids[ii[m]].astype(np.int64)
+    b = ids[jj[m]].astype(np.int64)
+    h = ham[m]
+    nd = np.zeros(len(a), dtype=np.int64)
+    if n_dropped:
+        a = np.append(a, -1)
+        b = np.append(b, -1)
+        h = np.append(h, -1)
+        nd = np.append(nd, n_dropped)
+    return pd.DataFrame({"a": a, "b": b, "hamming": h, "n_dropped": nd})

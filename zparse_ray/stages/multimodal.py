@@ -11,6 +11,11 @@ image/audio libraries ship in this container:
   (the honest stub)
 - ``decoder="fake"`` uses a deterministic fake (seeded from the asset
   id) so the full pipeline shape can run and be tested
+- ``decoder="png"`` is a REAL codec path: the batch must carry a
+  ``payload`` binary column holding PNG bytes, decoded per row with the
+  engine's own pure-stdlib codec (functions/png_codec.py) — width /
+  height come from the actual IHDR and the feature vector is an 8x8
+  mean-pooled greyscale grid of the actual pixels
 
 Scale notes: media batches are LARGE per row — callers must size
 ``batch_size`` small (e.g. 64) and keep ``batch_format="pyarrow"`` so
@@ -61,22 +66,54 @@ class MediaFeatureExtractor:
     """
 
     def __init__(self, decoder: str | None = None, feat_dim: int = 64):
-        if decoder not in (None, "fake"):
+        if decoder not in (None, "fake", "png"):
             raise ValueError(f"unknown decoder: {decoder!r}")
         self.decoder = decoder
         self.feat_dim = feat_dim
         # real version: self.model = load_model(...); torch.no_grad() etc.
+
+    def _png_decode(self, batch: pa.Table, feat_dim: int):
+        """Real decode: per-row PNG parse (actor-pool stage — the
+        per-row loop IS the codec; parallelism comes from actors)."""
+        from ..functions.png_codec import decode_png
+
+        payloads = batch["payload"]
+        n = batch.num_rows
+        side = max(1, int(np.sqrt(feat_dim)))
+        width = np.empty(n, np.int32)
+        height = np.empty(n, np.int32)
+        feats = np.empty((n, feat_dim), np.float32)
+        for i in range(n):
+            w, h, arr = decode_png(payloads[i].as_py())
+            width[i], height[i] = w, h
+            grey = arr.astype(np.float32)
+            if grey.ndim == 3:
+                grey = grey.mean(axis=2)
+            # mean-pool onto a side x side grid (pad feat_dim tail with 0)
+            pooled = np.array(
+                [
+                    [c.mean() for c in np.array_split(r, side, axis=1)]
+                    for r in np.array_split(grey, side, axis=0)
+                ],
+                dtype=np.float32,
+            ).ravel()
+            feats[i, : len(pooled)] = pooled / 255.0
+            feats[i, len(pooled) :] = 0.0
+        return width, height, np.ones(n, np.int32), feats
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decoder is None:
             raise NotImplementedError(
                 "media decode requires an image/audio codec, none available "
                 "in this environment — construct with decoder='fake' for the "
-                "deterministic stub"
+                "deterministic stub, or decoder='png' with a payload column"
             )
         ids = batch["asset_id"].to_numpy(zero_copy_only=False)
         kinds = batch["kind"].to_numpy(zero_copy_only=False)
-        width, height, n_frames, feats = _fake_decode(ids, kinds, self.feat_dim)
+        if self.decoder == "png":
+            width, height, n_frames, feats = self._png_decode(batch, self.feat_dim)
+        else:
+            width, height, n_frames, feats = _fake_decode(ids, kinds, self.feat_dim)
         norms = np.linalg.norm(feats, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         feats = feats / norms
