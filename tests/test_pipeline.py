@@ -249,7 +249,8 @@ def test_xml_round_trip_clean_and_detected(monkeypatch):
     monkeypatch.setattr(S, "serialize_xml", corrupt)
     out = S.validate_payloads(kinds, texts, idxs, round_trip=True)
     assert len(out) == 3
-    assert all(c == "RoundTrip" for _, c, _ in out)
+    assert all(v[1] == "RoundTrip" for v in out)
+    assert all((v[3], v[4]) == (0, 0) for v in out)  # round-trip carries no input position
 
 
 def test_parser_config_max_depth_plumbed(ray_session, tmp_path):
@@ -314,3 +315,20 @@ def test_null_fields_normalized_and_parity(ray_session, tmp_path):
     assert p_verdicts == o_verdicts
     checks = {v["check_id"] for v in p_viols}
     assert "UnknownKind" in checks and "RefIntegrity" in checks
+
+
+def test_violation_rows_carry_parser_line_col():
+    # reference Pos is (offset, line, col) (error.rs:8-44); grammar
+    # violations must carry the parser's 1-based position
+    import numpy as np
+
+    import zparse_ray.stages.spancheck as S
+
+    kinds = np.array(["json", "toml"], dtype=object)
+    texts = np.array(['{\n  "a": 1,\n  bad\n}', "x =\n= 1\n"], dtype=object)
+    out = S.validate_payloads(kinds, texts, np.array([0, 1]), round_trip=False)
+    assert len(out) == 2
+    for _i, _check, _detail, line, col in out:
+        assert line >= 1 and col >= 1
+    # the JSON error is on line 3
+    assert out[0][3] == 3

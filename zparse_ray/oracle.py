@@ -94,24 +94,24 @@ def oracle_validate(
                 ref = span["media_ref"] if span["media_ref"] is not None else ""
                 off = span["offset"] if span["offset"] is not None else -1
                 if prev_offset is not None and off <= prev_offset:
-                    doc_viols.append((si, E.SPAN_ORDER, f"offset {off} after {prev_offset}", off))
+                    doc_viols.append((si, E.SPAN_ORDER, f"offset {off} after {prev_offset}", off, 0, 0))
                 prev_offset = off
                 if kind not in SPAN_KINDS:
-                    doc_viols.append((si, E.UNKNOWN_KIND, f"kind={kind!r}", off))
+                    doc_viols.append((si, E.UNKNOWN_KIND, f"kind={kind!r}", off, 0, 0))
                     continue
                 nbytes = len(text.encode("utf-8"))
                 too_big = nbytes > max_span_bytes
                 if too_big:
-                    doc_viols.append((si, E.MAX_SIZE_EXCEEDED, f"span bytes {nbytes}", off))
+                    doc_viols.append((si, E.MAX_SIZE_EXCEEDED, f"span bytes {nbytes}", off, 0, 0))
                 if kind in MEDIA_KINDS:
                     if assets and (ref == "" or ref not in assets):
-                        doc_viols.append((si, E.REF_INTEGRITY, f"media_ref={ref!r}", off))
+                        doc_viols.append((si, E.REF_INTEGRITY, f"media_ref={ref!r}", off, 0, 0))
                 elif kind in GRAMMAR_KINDS and not too_big:
                     cfg = (parser_configs or {}).get(kind)
                     try:
                         value = _PARSE[kind](text, cfg) if cfg is not None else _PARSE[kind](text)
                     except ParseError as e:
-                        doc_viols.append((si, e.check_id, e.message, off))
+                        doc_viols.append((si, e.check_id, e.message, off, e.line, e.col))
                         continue
                     if round_trip and kind == "xml":
                         # value-level XML round-trip (text runs merged by
@@ -120,26 +120,26 @@ def oracle_validate(
                             back = parse_xml(serialize_xml(value))
                         except ParseError as e:
                             doc_viols.append(
-                                (si, E.ROUND_TRIP, f"reparse failed: {e.check_id}", off)
+                                (si, E.ROUND_TRIP, f"reparse failed: {e.check_id}", off, 0, 0)
                             )
                             continue
                         if not values_equal(xml_to_value(back), xml_to_value(value)):
                             doc_viols.append(
-                                (si, E.ROUND_TRIP, "value mismatch after round-trip", off)
+                                (si, E.ROUND_TRIP, "value mismatch after round-trip", off, 0, 0)
                             )
                     elif round_trip:
                         try:
                             back = _PARSE[kind](_SER[kind](value))
                         except ParseError as e:
                             doc_viols.append(
-                                (si, E.ROUND_TRIP, f"reparse failed: {e.check_id}", off)
+                                (si, E.ROUND_TRIP, f"reparse failed: {e.check_id}", off, 0, 0)
                             )
                             continue
                         if not values_equal(back, value):
                             doc_viols.append(
-                                (si, E.ROUND_TRIP, "value mismatch after round-trip", off)
+                                (si, E.ROUND_TRIP, "value mismatch after round-trip", off, 0, 0)
                             )
-            for si, check, detail, off in doc_viols:
+            for si, check, detail, off, line, col in doc_viols:
                 violations.append(
                     {
                         "partition_id": pid,
@@ -148,6 +148,8 @@ def oracle_validate(
                         "check_id": check,
                         "detail": detail,
                         "offset": off,
+                        "line": line,
+                        "col": col,
                     }
                 )
                 stats["checks"].add(check)
@@ -165,6 +167,8 @@ def oracle_validate(
                         "check_id": E.DUPLICATE_KEY,
                         "detail": f"doc_id appears {n} times",
                         "offset": -1,
+                        "line": 0,
+                        "col": 0,
                     }
                 )
                 per_part[pid]["checks"].add(E.DUPLICATE_KEY)

@@ -273,6 +273,8 @@ def run_validation(
                         pa.string(),
                     ),
                     "offset": pa.array([-1] * n, pa.int32()),
+                    "line": pa.array([0] * n, pa.int32()),
+                    "col": pa.array([0] * n, pa.int32()),
                 },
                 schema=VIOLATIONS_SCHEMA,
             )
@@ -326,6 +328,8 @@ def run_validation(
                         "check_id": E.DRIFT,
                         "detail": f"ks={ks:.4f} psi={p_psi:.4f}",
                         "offset": -1,
+                        "line": 0,
+                        "col": 0,
                     }
                 )
         verdict_rows.append(

@@ -50,8 +50,11 @@ ASSETS_SCHEMA = pa.schema(
 )
 
 # violation rows: the engine's analog of the reference's positioned
-# errors (error.rs:8-44) — (doc_id, span_index, check_id, ...) instead
-# of line/col
+# errors — reference ``Pos`` carries (offset, line, col)
+# (crates/zparse/src/error.rs:8-44) and the CLI prints
+# ``error at off:line:col``; grammar violations carry the parser's
+# 1-based (line, col) alongside the span offset, and non-parse
+# violations (order/ref/size/dup/drift) carry (0, 0)
 VIOLATIONS_SCHEMA = pa.schema(
     [
         ("partition_id", pa.int32()),
@@ -60,6 +63,8 @@ VIOLATIONS_SCHEMA = pa.schema(
         ("check_id", pa.string()),
         ("detail", pa.string()),
         ("offset", pa.int32()),
+        ("line", pa.int32()),
+        ("col", pa.int32()),
     ]
 )
 

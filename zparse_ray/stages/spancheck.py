@@ -112,7 +112,10 @@ def validate_payloads(
     parser_configs: dict | None = None,
 ):
     """Grammar walk over the selected spans; yields (flat_idx, check_id,
-    detail). ``parser_configs`` maps kind -> per-format Config object
+    detail, line, col) — grammar errors carry the parser's 1-based
+    position (reference Pos, error.rs:8-44); round-trip violations carry
+    (0, 0) since their position would be in the RESERIALIZED text, not
+    the input. ``parser_configs`` maps kind -> per-format Config object
     (JsonConfig/TomlConfig/... — the reference's resource-limit guards,
     json/parser.rs:14-23, csv/parser.rs:8-11, exposed per job per
     SURVEY §1.2)."""
@@ -125,10 +128,10 @@ def validate_payloads(
         try:
             value = parse(texts[i], cfg) if cfg is not None else parse(texts[i])
         except ParseError as e:
-            out.append((i, e.check_id, e.message))
+            out.append((i, e.check_id, e.message, e.line, e.col))
             continue
         except RecursionError:
-            out.append((i, E.MAX_DEPTH_EXCEEDED, "recursion limit"))
+            out.append((i, E.MAX_DEPTH_EXCEEDED, "recursion limit", 0, 0))
             continue
         if round_trip:
             if kind == "xml":
@@ -141,19 +144,19 @@ def validate_payloads(
                 try:
                     back = parse(serialize_xml(value))
                 except ParseError as e:
-                    out.append((i, E.ROUND_TRIP, f"reparse failed: {e.check_id}"))
+                    out.append((i, E.ROUND_TRIP, f"reparse failed: {e.check_id}", 0, 0))
                     continue
                 if not values_equal(xml_to_value(back), xml_to_value(value)):
-                    out.append((i, E.ROUND_TRIP, "value mismatch after round-trip"))
+                    out.append((i, E.ROUND_TRIP, "value mismatch after round-trip", 0, 0))
                 continue
             ser = _SERIALIZERS[kind]
             try:
                 back = parse(ser(value))
             except ParseError as e:
-                out.append((i, E.ROUND_TRIP, f"reparse failed: {e.check_id}"))
+                out.append((i, E.ROUND_TRIP, f"reparse failed: {e.check_id}", 0, 0))
                 continue
             if not values_equal(back, value):
-                out.append((i, E.ROUND_TRIP, "value mismatch after round-trip"))
+                out.append((i, E.ROUND_TRIP, "value mismatch after round-trip", 0, 0))
     return out
 
 
@@ -259,7 +262,7 @@ class SpanValidator:
         text_bytes = pc.binary_length(pc.cast(text_arr, pa.binary())).to_numpy()
 
         # (flat_idx or -1, row_idx, span_idx_in_row, check_id, detail)
-        violations: list[tuple[int, int, str, str]] = []  # (flat_idx, row, check, detail)
+        violations: list[tuple[int, int, str, str, int, int]] = []  # (flat_idx, row, check, detail, line, col)
         span_index_flat = np.arange(n_spans_total) - list_offsets[:-1][row_of]
 
         # 1. unknown kinds (vectorized membership)
@@ -268,13 +271,13 @@ class SpanValidator:
         kind_ser = pd.Series(kind_np)
         bad_kind = ~kind_ser.isin(self.valid_kinds).to_numpy()
         for i in np.flatnonzero(bad_kind):
-            violations.append((i, int(row_of[i]), E.UNKNOWN_KIND, f"kind={kind_np[i]!r}"))
+            violations.append((i, int(row_of[i]), E.UNKNOWN_KIND, f"kind={kind_np[i]!r}", 0, 0))
 
         # 2. size limit (vectorized)
         too_big = text_bytes > self.max_span_bytes
         for i in np.flatnonzero(too_big):
             violations.append(
-                (i, int(row_of[i]), E.MAX_SIZE_EXCEEDED, f"span bytes {text_bytes[i]}")
+                (i, int(row_of[i]), E.MAX_SIZE_EXCEEDED, f"span bytes {text_bytes[i]}", 0, 0)
             )
 
         # 3. span offset order: strictly increasing within each row
@@ -284,7 +287,7 @@ class SpanValidator:
             bad_pos = np.flatnonzero(inc & same_row) + 1
             for i in bad_pos:
                 violations.append(
-                    (int(i), int(row_of[i]), E.SPAN_ORDER, f"offset {off_np[i]} after {off_np[i-1]}")
+                    (int(i), int(row_of[i]), E.SPAN_ORDER, f"offset {off_np[i]} after {off_np[i-1]}", 0, 0)
                 )
 
         # 4. media_ref referential integrity (broadcast set, searchsorted)
@@ -297,7 +300,7 @@ class SpanValidator:
             found = self.assets[pos] == refs
             missing = media_idx[(~found) | (refs == "")]
             for i in missing:
-                violations.append((int(i), int(row_of[i]), E.REF_INTEGRITY, f"media_ref={media_np[i]!r}"))
+                violations.append((int(i), int(row_of[i]), E.REF_INTEGRITY, f"media_ref={media_np[i]!r}", 0, 0))
 
         # 5. grammar walk on surviving grammar spans
         is_grammar = kind_ser.isin(GRAMMAR_KINDS).to_numpy()
@@ -311,31 +314,33 @@ class SpanValidator:
             texts_np[gram_idx] = text_arr.take(
                 pa.array(gram_idx, pa.int64())
             ).to_pylist()
-            for i, check_id, detail in validate_payloads(
+            for i, check_id, detail, line, col in validate_payloads(
                 kind_np, texts_np, gram_idx, self.round_trip, self.parser_configs
             ):
-                violations.append((int(i), int(row_of[i]), check_id, detail))
+                violations.append((int(i), int(row_of[i]), check_id, detail, int(line), int(col)))
 
         # -- assemble outputs ---------------------------------------------
         doc_np = doc_ids.to_numpy(zero_copy_only=False)
         viol_count_per_row = np.zeros(n_rows, dtype=np.int32)
         if violations:
             violations.sort(key=lambda v: (doc_np[v[1]], span_index_flat[v[0]], v[2]))
-            for _, r, _, _ in violations:
-                viol_count_per_row[r] += 1
+            for v in violations:
+                viol_count_per_row[v[1]] += 1
 
         viol_table = pa.table(
             {
                 "partition_id": pa.array(
-                    [int(pids[r]) for _, r, _, _ in violations], pa.int32()
+                    [int(pids[v[1]]) for v in violations], pa.int32()
                 ),
-                "doc_id": pa.array([doc_np[r] for _, r, _, _ in violations], pa.string()),
+                "doc_id": pa.array([doc_np[v[1]] for v in violations], pa.string()),
                 "span_index": pa.array(
-                    [int(span_index_flat[i]) for i, _, _, _ in violations], pa.int32()
+                    [int(span_index_flat[v[0]]) for v in violations], pa.int32()
                 ),
-                "check_id": pa.array([c for _, _, c, _ in violations], pa.string()),
-                "detail": pa.array([d for _, _, _, d in violations], pa.string()),
-                "offset": pa.array([int(off_np[i]) for i, _, _, _ in violations], pa.int32()),
+                "check_id": pa.array([v[2] for v in violations], pa.string()),
+                "detail": pa.array([v[3] for v in violations], pa.string()),
+                "offset": pa.array([int(off_np[v[0]]) for v in violations], pa.int32()),
+                "line": pa.array([v[4] for v in violations], pa.int32()),
+                "col": pa.array([v[5] for v in violations], pa.int32()),
             },
             schema=VIOLATIONS_SCHEMA,
         )
@@ -348,7 +353,7 @@ class SpanValidator:
             n_docs = int(rmask.sum())
             n_sp = int(smask.sum())
             n_viol = int(viol_count_per_row[rmask].sum())
-            checks = sorted({c for _, r, c, _ in violations if pids[r] == pid})
+            checks = sorted({v[2] for v in violations if pids[v[1]] == pid})
             td_text = TDigest()
             td_text.add(text_bytes[smask].astype(np.float64))
             td_spans = TDigest()
