@@ -60,6 +60,14 @@ class MinHasher:
 
     Output: one row per (doc, band): (doc_id, band_id, band_hash) —
     the compact stream the LSH groupby shuffles.
+
+    Fully vectorized across the batch (VERDICT r2 item 9 — no per-doc
+    Python dispatch): tokens explode once, k-token shingle hashes come
+    from shared polynomial prefix sums over the flat token-hash array
+    (window boundaries masked per doc), and each permutation's per-doc
+    min is one ``np.minimum.reduceat``. Docs shorter than ``shingle_k``
+    tokens hash their full token run as the single shingle (the
+    ``shingles()`` fallback); empty docs keep the all-max signature.
     """
 
     def __init__(self, n_perm: int = 128, n_bands: int = 16, shingle_k: int = 5):
@@ -72,31 +80,61 @@ class MinHasher:
         self.a = rng.integers(1, 2**61 - 1, n_perm, dtype=np.uint64)
         self.b = rng.integers(0, 2**61 - 1, n_perm, dtype=np.uint64)
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = shingles(text, self.shingle_k)
-        if not sh:
-            return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        h = hash64(np.array(sorted(sh), dtype=object))  # (n_shingles,)
+    def _signatures(self, texts) -> np.ndarray:
+        """(n_perm, n_docs) minhash signatures for a pandas Series."""
+        from ..stages.textops import _window_poly_hashes
+
+        n_docs = len(texts)
+        sig = np.full((self.n_perm, n_docs), np.iinfo(np.uint64).max, dtype=np.uint64)
+        toks = texts.str.lower().str.findall(_TOKEN)
+        counts = toks.str.len().to_numpy().astype(np.int64)
+        total_toks = int(counts.sum())
+        if total_toks == 0:
+            return sig
+        flat = toks.explode().dropna().to_numpy(dtype=object)
+        th = hash64(flat)
+        offsets = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        k = self.shingle_k
+        # one window per shingle: stride-1 k-grams for docs with >= k
+        # tokens, one full-run window for 0 < tokens < k
+        n_win = np.where(counts >= k, counts - k + 1, (counts > 0).astype(np.int64))
+        total_win = int(n_win.sum())
+        row_of_win = np.repeat(np.arange(n_docs), n_win)
+        within = np.arange(total_win) - np.repeat(np.cumsum(n_win) - n_win, n_win)
+        wstart = offsets[row_of_win] + within
+        wlen = np.minimum(counts[row_of_win], k)
+        sh = _window_poly_hashes(th, wstart, wstart + wlen)
+        # per-perm, per-doc min via reduceat over each doc's window run
+        has_win = n_win > 0
+        ws0 = (np.cumsum(n_win) - n_win)[has_win]
         with np.errstate(over="ignore"):
-            m = self.a[:, None] * h[None, :] + self.b[:, None]  # (n_perm, n_shingles)
-        return m.min(axis=1)
+            for p in range(self.n_perm):
+                vals = self.a[p] * sh + self.b[p]
+                sig[p, has_win] = np.minimum.reduceat(vals, ws0)
+        return sig
+
+    def signature(self, text: str) -> np.ndarray:
+        import pandas as pd
+
+        return self._signatures(pd.Series([text]))[:, 0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pandas().fillna("")
         ids = batch["doc_id"].to_numpy()
-        doc_out, band_out, hash_out = [], [], []
-        for did, t in zip(ids, texts):
-            sig = self.signature(t)
-            bands = sig.reshape(self.n_bands, self.rows_per_band)
-            bh = hash64(bands[:, 0] ^ (bands * np.uint64(0x9E3779B9)).sum(axis=1, dtype=np.uint64))
-            doc_out.extend([int(did)] * self.n_bands)
-            band_out.extend(range(self.n_bands))
-            hash_out.extend(bh.astype(np.int64))
+        n_docs = len(ids)
+        sig = self._signatures(texts)  # (n_perm, n_docs)
+        bands = sig.reshape(self.n_bands, self.rows_per_band, n_docs)
+        with np.errstate(over="ignore"):
+            acc = (bands * np.uint64(0x9E3779B9)).sum(axis=1, dtype=np.uint64)
+        bh = hash64((bands[:, 0, :] ^ acc).ravel()).reshape(self.n_bands, n_docs)
         return pa.table(
             {
-                "doc_id": pa.array(doc_out, pa.int64()),
-                "band_id": pa.array(band_out, pa.int32()),
-                "band_hash": pa.array(hash_out, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids.astype(np.int64), self.n_bands), pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(self.n_bands, dtype=np.int32), n_docs), pa.int32()
+                ),
+                "band_hash": pa.array(bh.T.ravel().astype(np.int64), pa.int64()),
             }
         )
 
