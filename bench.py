@@ -68,13 +68,29 @@ def _headline(sf_dir: str, n_cpus: int) -> dict:
     shutil.rmtree(warm_out, ignore_errors=True)
     run_validation(warm_dir, warm_out, round_trip=False, resume=False)
 
-    out_dir = f"/tmp/zparse_ray_bench_out_{n_cpus}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    steal0 = _cpu_jiffies()
-    t0 = time.time()
-    res = run_validation(spans_dir, out_dir, round_trip=False, resume=False)
-    t_validate = time.time() - t0
-    steal_frac = _steal_fraction(steal0, _cpu_jiffies())
+    # steal-screened measurement (VERDICT r2 item 2: r2's number was
+    # taken in a 6.55% steal window, above the repo's own exclusion
+    # bar): retry the validate window until hypervisor steal stays
+    # under the clean threshold, up to BENCH_VALIDATE_ATTEMPTS runs;
+    # report the fastest CLEAN window (else the fastest overall, with
+    # its steal on record)
+    attempts = int(os.environ.get("BENCH_VALIDATE_ATTEMPTS", "4"))
+    steal_clean = float(os.environ.get("SCALING_STEAL_CLEAN", "0.05"))
+    runs: list[tuple[float, float]] = []  # (t_validate, steal_frac)
+    res = None
+    for i in range(attempts):
+        out_dir = f"/tmp/zparse_ray_bench_out_{n_cpus}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        steal0 = _cpu_jiffies()
+        t0 = time.time()
+        res = run_validation(spans_dir, out_dir, round_trip=False, resume=False)
+        runs.append((time.time() - t0, _steal_fraction(steal0, _cpu_jiffies())))
+        if runs[-1][1] <= steal_clean:
+            break
+        if i + 1 < attempts:
+            time.sleep(15)  # let a transient co-tenant burst pass
+    clean = [r for r in runs if r[1] <= steal_clean]
+    t_validate, steal_frac = min(clean) if clean else min(runs)
 
     queries: dict[str, float] = {"validate": round(t_validate, 3)}
     qnames = [] if os.environ.get("BENCH_SKIP_QUERIES") else [
@@ -102,10 +118,13 @@ def _headline(sf_dir: str, n_cpus: int) -> dict:
         "queries": queries,
         "sf": sf,
         "num_cpus": n_cpus,
-        # hypervisor steal fraction DURING the validate window — runs on
-        # this shared VM are contaminated when neighbors spike; the
-        # scaling harness screens on this
+        # hypervisor steal fraction DURING the chosen validate window —
+        # runs on this shared VM are contaminated when neighbors spike;
+        # the window was retried until clean (all attempts listed)
         "steal_frac": steal_frac,
+        "validate_attempts": [
+            {"sec": round(t, 3), "steal": s} for t, s in runs
+        ],
     }
 
 
