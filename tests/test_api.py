@@ -52,3 +52,76 @@ def test_event_stream_toml_and_scalar_root():
     evts = list(parse_events('k = { x = 1 }\n', "toml"))
     assert evts[0] == ("ObjectStart", None) and evts[-1] == ("Eof", None)
     assert ("Key", "x") in evts
+
+
+# -- true pull-based JSON event parser (reference next_event parity) -------
+
+def test_pull_events_match_dom_derived():
+    from zparse_ray.functions.events import EOF, iter_events, iter_json_events
+    from zparse_ray.functions.json_parser import JSONC_CONFIG, parse_json, parse_jsonc
+
+    valid = [
+        "1", ' "x" ', "null", "true", "[]", "{}", "[1,2,3]", '{"a":1}',
+        '{"a": {"b": [1, {"c": null}]}, "d": [true, false, "s"]}',
+        "[[[[1]]]]", '{"k": []}', ' [ { "a" : [ ] } , 2.5e3 ] ',
+        '"\\u0041\\n"', "[-0.5, 1e-3, 0]",
+    ]
+    for doc in valid:
+        dom = list(iter_events(parse_json(doc))) + [(EOF, None)]
+        assert list(iter_json_events(doc)) == dom, doc
+    for doc in ["[1, 2, ]", '{"a": 1,}', "// c\n[1]", '/*x*/ {"a"/*y*/: 1}']:
+        dom = list(iter_events(parse_jsonc(doc))) + [(EOF, None)]
+        assert list(iter_json_events(doc, JSONC_CONFIG)) == dom, doc
+
+
+def test_pull_events_error_parity_with_dom_parser():
+    from zparse_ray.functions.errors import ParseError
+    from zparse_ray.functions.events import iter_json_events
+    from zparse_ray.functions.json_parser import JsonConfig, parse_json
+
+    invalid = [
+        "", "[1,]", '{"a" 1}', "{a: 1}", "[1 2]", '{"a":}', "[", "{", '{"a"',
+        "1 2", "[truex]", '"unterminated', "[01]", '{"a":1,,}', "]", ",",
+        "[1}", '["\\q"]',
+    ]
+    for doc in invalid:
+        try:
+            parse_json(doc)
+            e_dom = None
+        except ParseError as e:
+            e_dom = (e.check_id, e.offset)
+        try:
+            list(iter_json_events(doc))
+            e_pull = None
+        except ParseError as e:
+            e_pull = (e.check_id, e.offset)
+        assert e_dom == e_pull, (doc, e_dom, e_pull)
+    # max_depth fires at the same open token as the DOM slow path
+    deep = "[" * 200 + '"\\n"' + "]" * 200
+    cfg = JsonConfig(max_depth=100)
+    for fn in (lambda: parse_json(deep, cfg), lambda: list(iter_json_events(deep, cfg))):
+        try:
+            fn()
+            raise AssertionError("expected MaxDepthExceeded")
+        except ParseError as e:
+            assert (e.check_id, e.offset) == ("MaxDepthExceeded", 100)
+
+
+def test_pull_events_are_incremental():
+    from itertools import islice
+
+    from zparse_ray.functions.events import EOF, JsonEventParser, iter_json_events
+
+    # the malformed tail is never lexed when the caller stops pulling —
+    # proof the stream is pull-based, not DOM-derived
+    lazy = iter_json_events("[1, 2, " + "x" * 5 + "]")
+    assert [k for k, _ in islice(lazy, 3)] == ["ArrayStart", "Value", "Value"]
+
+    p = JsonEventParser('{"a": [1]}')
+    evs = []
+    while (ev := p.next_event()) is not None:
+        evs.append(ev)
+    assert [k for k, _ in evs] == [
+        "ObjectStart", "Key", "ArrayStart", "Value", "ArrayEnd", "ObjectEnd", "Eof",
+    ]
+    assert p.next_event() is None  # reference: Ok(None) after Eof

@@ -129,3 +129,27 @@ def test_random_adversarial_tables_parity(ray_session, tmp_path):
         o = oracle_validate(d, round_trip=True)
         assert p[0] == o[0], f"seed {seed}: violations diverge"
         assert p[1] == o[1], f"seed {seed}: verdicts diverge"
+
+
+@given(st.text(alphabet='{}[],:"\\ 01ntf.e-u', max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_fuzz_pull_events_differential(doc):
+    """Pull event parser and DOM parser agree on accept/reject,
+    check_id and offset for arbitrary JSON-ish garbage."""
+    from zparse_ray.functions.errors import ParseError
+    from zparse_ray.functions.events import EOF, iter_events, iter_json_events
+    from zparse_ray.functions.json_parser import parse_json
+
+    try:
+        dom = list(iter_events(parse_json(doc))) + [(EOF, None)]
+        e_dom = None
+    except ParseError as e:
+        dom, e_dom = None, (e.check_id, e.offset)
+    except RecursionError:
+        return
+    try:
+        pull = list(iter_json_events(doc))
+        e_pull = None
+    except ParseError as e:
+        pull, e_pull = None, (e.check_id, e.offset)
+    assert e_dom == e_pull and dom == pull, (doc, e_dom, e_pull)

@@ -4,14 +4,18 @@ SAX-style event iterators per format (`next_event`, json/parser.rs:
 vocabularies like ObjectStart/Key/Value/ObjectEnd/ArrayStart/ArrayEnd/
 Eof (json/event.rs:7-20).
 
-This engine derives the same event sequence from the parsed DOM rather
-than re-implementing incremental pull parsers: per-document inputs are
-already in memory as one span, so a pull lexer buys no streaming
-benefit here — the distributed streaming happens at the Dataset/block
-level. The observable contract (event kinds + order for a given
-document) matches the reference's fold: its `parse_value()` folds
-exactly this event stream into the DOM, so walking the DOM emits the
-inverse, identical sequence.
+JSON/JSONC get a TRUE pull parser (``JsonEventParser`` /
+``iter_json_events``): an iterative state machine over the same
+scanner primitives the DOM parser uses, consuming input only as the
+caller pulls events — mirroring the reference's `next_event` token
+loop (json/parser.rs:119-151; its `parse_value()` is a fold over this
+same stream). Errors surface at the event where the offending token is
+pulled, with the DOM parser's exact check_ids and positions.
+
+TOML/YAML event streams remain DOM-derived: those grammars need
+lookahead/indent context that makes the derived stream the pragmatic
+form, and the observable contract (event kinds + order per document)
+is identical either way.
 """
 
 from __future__ import annotations
@@ -19,6 +23,8 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 from .convert import parse_value
+from .errors import EXPECTED, INVALID_TOKEN, MAX_SIZE_EXCEEDED, TRAILING_COMMA, ParseError
+from .json_parser import JSONC_CONFIG, JsonConfig, _err as _jerr, _JsonParser
 
 # event kinds (json/event.rs:7-20 vocabulary)
 OBJECT_START = "ObjectStart"
@@ -48,9 +54,191 @@ def iter_events(value) -> Iterator[tuple[str, object]]:
         yield (VALUE, value)
 
 
+def _parse_primitive(p: _JsonParser):
+    """Primitive-value dispatch with the DOM parser's exact errors
+    (containers are handled by the event state machine)."""
+    text, pos = p.text, p.pos
+    c = text[pos]
+    if c == '"':
+        return p.parse_string()
+    if c == "n":
+        if text.startswith("null", pos):
+            p.pos = pos + 4
+            return None
+        raise _jerr(INVALID_TOKEN, "invalid token", text, pos)
+    if c == "t":
+        if text.startswith("true", pos):
+            p.pos = pos + 4
+            return True
+        raise _jerr(INVALID_TOKEN, "invalid token", text, pos)
+    if c == "f":
+        if text.startswith("false", pos):
+            p.pos = pos + 5
+            return False
+        raise _jerr(INVALID_TOKEN, "invalid token", text, pos)
+    if c == "-" or c.isdigit():
+        return p.parse_number()
+    raise _jerr(INVALID_TOKEN, "invalid token", text, pos)
+
+
+def iter_json_events(text: str, config: JsonConfig | None = None) -> Iterator[tuple[str, object]]:
+    """TRUE pull-based JSON/JSONC event stream: an iterative state
+    machine over the scanner (no recursion, no DOM) that consumes input
+    only as events are pulled — the reference's `next_event` contract
+    (json/parser.rs:119-151). Yields the json/event.rs vocabulary
+    terminated by Eof; raises the DOM parser's exact ParseErrors at the
+    offending token. Depth is the live container-stack size, so
+    max_depth triggers at the same open token as the DOM parser."""
+    cfg = config or JsonConfig()
+    if len(text.encode("utf-8", "surrogatepass")) > cfg.max_size:
+        raise ParseError(MAX_SIZE_EXCEEDED, f"maximum size exceeded: {cfg.max_size}", 0, 1, 1)
+    p = _JsonParser(text, cfg)
+    stack: list[str] = []
+    state = "value"
+    p.skip_ws()
+    while True:
+        if state == "value":
+            if p.pos >= p.n:
+                raise _jerr(EXPECTED, "expected value, found end of input", text, p.pos)
+            c = text[p.pos]
+            if c == "{":
+                p.check_depth(len(stack) + 1)
+                p.pos += 1
+                yield (OBJECT_START, None)
+                stack.append("O")
+                p.skip_ws()
+                if p.pos < p.n and text[p.pos] == "}":
+                    p.pos += 1
+                    yield (OBJECT_END, None)
+                    stack.pop()
+                    state = "after"
+                else:
+                    state = "key"
+            elif c == "[":
+                p.check_depth(len(stack) + 1)
+                p.pos += 1
+                yield (ARRAY_START, None)
+                stack.append("A")
+                p.skip_ws()
+                if p.pos < p.n and text[p.pos] == "]":
+                    p.pos += 1
+                    yield (ARRAY_END, None)
+                    stack.pop()
+                    state = "after"
+                else:
+                    state = "arr_value"
+            else:
+                yield (VALUE, _parse_primitive(p))
+                state = "after"
+        elif state == "arr_value":
+            p.skip_ws()
+            if p.pos < p.n and text[p.pos] == "]":
+                # only reachable after a comma -> trailing comma
+                if cfg.allow_trailing_commas:
+                    p.pos += 1
+                    yield (ARRAY_END, None)
+                    stack.pop()
+                    state = "after"
+                else:
+                    raise _jerr(TRAILING_COMMA, "trailing comma", text, p.pos)
+            else:
+                state = "value"
+        elif state == "key":
+            p.skip_ws()
+            if p.pos >= p.n:
+                raise _jerr(EXPECTED, "expected key, found end of input", text, p.pos)
+            if text[p.pos] == "}":
+                if cfg.allow_trailing_commas:
+                    p.pos += 1
+                    yield (OBJECT_END, None)
+                    stack.pop()
+                    state = "after"
+                    continue
+                raise _jerr(TRAILING_COMMA, "trailing comma", text, p.pos)
+            if text[p.pos] != '"':
+                raise _jerr(
+                    EXPECTED, f"expected string key, found {text[p.pos]!r}", text, p.pos
+                )
+            key = p.parse_string()
+            yield (KEY, key)
+            p.skip_ws()
+            if p.pos >= p.n or text[p.pos] != ":":
+                raise _jerr(EXPECTED, "expected ':', found other", text, p.pos)
+            p.pos += 1
+            p.skip_ws()
+            state = "value"
+        else:  # "after" a completed value
+            if not stack:
+                p.skip_ws()
+                if p.pos != p.n:
+                    raise _jerr(
+                        EXPECTED, "expected end of input, found trailing content", text, p.pos
+                    )
+                yield (EOF, None)
+                return
+            p.skip_ws()
+            top = stack[-1]
+            if p.pos >= p.n:
+                what = "',' or '}'" if top == "O" else "',' or ']'"
+                raise _jerr(EXPECTED, f"expected {what}, found end of input", text, p.pos)
+            c = text[p.pos]
+            if top == "O":
+                if c == ",":
+                    p.pos += 1
+                    state = "key"
+                elif c == "}":
+                    p.pos += 1
+                    yield (OBJECT_END, None)
+                    stack.pop()
+                else:
+                    raise _jerr(EXPECTED, f"expected ',' or '}}', found {c!r}", text, p.pos)
+            else:
+                if c == ",":
+                    p.pos += 1
+                    state = "arr_value"
+                elif c == "]":
+                    p.pos += 1
+                    yield (ARRAY_END, None)
+                    stack.pop()
+                else:
+                    raise _jerr(EXPECTED, f"expected ',' or ']', found {c!r}", text, p.pos)
+
+
+class JsonEventParser:
+    """Reference `next_event` API shape (json/parser.rs:119-151): call
+    ``next_event()`` repeatedly; events return one at a time, input is
+    consumed incrementally, ``("Eof", None)`` marks the end, and
+    ``None`` follows it (the reference returns Ok(None) at EOF)."""
+
+    def __init__(self, text: str, config: JsonConfig | None = None, *, jsonc: bool = False):
+        cfg = config or (JSONC_CONFIG if jsonc else JsonConfig())
+        self._it = iter_json_events(text, cfg)
+        self._done = False
+
+    def next_event(self) -> tuple[str, object] | None:
+        if self._done:
+            return None
+        ev = next(self._it, None)
+        if ev is None or ev[0] == EOF:
+            self._done = True
+        return ev
+
+    def __iter__(self) -> Iterator[tuple[str, object]]:
+        while (ev := self.next_event()) is not None:
+            yield ev
+
+
 def parse_events(text: str, fmt: str) -> Iterator[tuple[str, object]]:
     """Parse `text` as `fmt` and yield its event stream, terminated by
-    an Eof event (reference `next_event` returns Eof at end)."""
+    an Eof event (reference `next_event` returns Eof at end). JSON and
+    JSONC stream through the true pull parser; other formats derive the
+    stream from the DOM (same observable sequence)."""
+    if fmt == "json":
+        yield from iter_json_events(text)
+        return
+    if fmt == "jsonc":
+        yield from iter_json_events(text, JSONC_CONFIG)
+        return
     value = parse_value(text, fmt)
     yield from iter_events(value)
     yield (EOF, None)
