@@ -179,7 +179,16 @@ def main() -> None:
         # cannot), which otherwise deflates the ratio arbitrarily
         steal_clean = float(os.environ.get("SCALING_STEAL_CLEAN", "0.05"))
         host_cores = os.cpu_count() or 32
-        levels = [("8raw", 8, 0), ("8dense", 8, max(0, host_cores - 8)), ("32", 32, 0)]
+        # SCALING_LEVELS picks the conditions, e.g. "16dense,32" for the
+        # half-box decomposition; "<n>dense" loads the other cores with
+        # grammar-walk spinners, "<n>raw"/"<n>" leaves them idle
+        spec = os.environ.get("SCALING_LEVELS", "8raw,8dense,32")
+        levels = []
+        for part in spec.split(","):
+            part = part.strip()
+            dense = part.endswith("dense")
+            ncpu = int(part.rstrip("densraw") or part)
+            levels.append((part, ncpu, max(0, host_cores - ncpu) if dense else 0))
         times: dict[str, list[float]] = {k: [] for k, _, _ in levels}
         rates: dict[str, list[float]] = {k: [] for k, _, _ in levels}
         steals: dict[str, list[float]] = {k: [] for k, _, _ in levels}
@@ -200,16 +209,28 @@ def main() -> None:
             "    parse_toml(doc_t)\n"
             "    parse_json(doc_j)\n"
         )
+        # dense levels use CPUSET PINNING (taskset): the measured job gets
+        # cores [0, n) EXCLUSIVELY and each spinner one core of [n, 32) —
+        # exactly an n-core node inside a fully-loaded box (same all-core
+        # frequency + LLC/DRAM pressure as the 32-level, but no CFS
+        # interleaving between spinners and the measured workers, which
+        # caused 1.5x run-to-run variance under the unpinned scheme)
+        have_taskset = shutil.which("taskset") is not None
         for _ in range(rounds):
             for key, ncpu, n_spin in levels:
-                spinners = [
-                    subprocess.Popen([sys.executable, "-c", spin_src])
-                    for _ in range(n_spin)
-                ]
+                spinners = []
+                for si in range(n_spin):
+                    cmd = [sys.executable, "-c", spin_src]
+                    if have_taskset:
+                        cmd = ["taskset", "-c", str(ncpu + si % (host_cores - ncpu))] + cmd
+                    spinners.append(subprocess.Popen(cmd))
                 try:
                     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+                    cmd = [sys.executable, os.path.abspath(__file__)]
+                    if n_spin and have_taskset:
+                        cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
                     out = subprocess.run(
-                        [sys.executable, os.path.abspath(__file__)],
+                        cmd,
                         env=env,
                         capture_output=True,
                         text=True,
@@ -228,37 +249,59 @@ def main() -> None:
             clean = [t for t, s in zip(times[key], steals[key]) if s <= steal_clean]
             return (min(clean), True) if clean else (min(times[key]), False)
 
-        t32, c32 = best("32")
-        t8d, c8d = best("8dense")
-        t8r, c8r = best("8raw")
-        eff_dense = (t8d / t32) / (32 / 8)
-        eff_raw = (t8r / t32) / (32 / 8)
-        print(
-            json.dumps(
+        big_key, big_n, _ = max(levels, key=lambda lv: lv[1])
+        t_big, c_big = best(big_key)
+        effs: dict[str, float] = {}
+        all_clean = c_big
+        for key, ncpu, _spin in levels:
+            if key == big_key:
+                continue
+            t, c = best(key)
+            effs[key] = round((t / t_big) / (big_n / ncpu), 3)
+            all_clean = all_clean and c
+        dense_keys = [k for k, n, sp in levels if sp > 0]
+        raw_keys = [k for k, n, sp in levels if sp == 0 and k != big_key]
+        value = effs[dense_keys[0]] if dense_keys else (effs[raw_keys[0]] if raw_keys else 1.0)
+        out = {
+            "metric": "scaling_efficiency",
+            "value": value,
+            "unit": "fraction",
+            "methodology": (
+                "value: constant-density (idle cores loaded during the small-N run so "
+                "per-core frequency matches the big-N run, as on N vs 4N nodes); "
+                "value_raw: uncontrolled same-box"
+            ),
+            "efficiencies": effs,
+            "all_levels_clean": all_clean,
+            "steal_clean_threshold": steal_clean,
+            "sf": last[big_key]["sf"],
+            "levels": {
+                k: {
+                    "num_cpus": n,
+                    "spinners": sp,
+                    "best_sec": best(k)[0],
+                    "docs_per_sec": max(rates[k]),
+                    "all_sec": times[k],
+                    "steal": steals[k],
+                }
+                for k, n, sp in levels
+            },
+        }
+        if raw_keys:
+            out["value_raw"] = effs[raw_keys[0]]
+        # legacy field names for the default 8raw/8dense/32 spec
+        if set(times) >= {"8raw", "8dense", "32"}:
+            out.update(
                 {
-                    "metric": "scaling_efficiency",
-                    "value": round(eff_dense, 3),
-                    "unit": "fraction",
-                    "value_raw": round(eff_raw, 3),
-                    "methodology": "value: constant-density (idle cores loaded during the 8-CPU run so per-core frequency matches the 32-CPU run, as on N vs 4N nodes); value_raw: uncontrolled same-box",
                     "docs_per_sec_8": max(rates["8raw"]),
                     "docs_per_sec_8_dense": max(rates["8dense"]),
                     "docs_per_sec_32": max(rates["32"]),
-                    "validate_sec_8": t8r,
-                    "validate_sec_8_dense": t8d,
-                    "validate_sec_32": t32,
-                    "all_sec_8": times["8raw"],
-                    "all_sec_8_dense": times["8dense"],
-                    "all_sec_32": times["32"],
-                    "steal_8": steals["8raw"],
-                    "steal_8_dense": steals["8dense"],
-                    "steal_32": steals["32"],
-                    "all_levels_clean": bool(c32 and c8d and c8r),
-                    "steal_clean_threshold": steal_clean,
-                    "sf": last["32"]["sf"],
+                    "validate_sec_8": best("8raw")[0],
+                    "validate_sec_8_dense": best("8dense")[0],
+                    "validate_sec_32": t_big,
                 }
             )
-        )
+        print(json.dumps(out))
         return
     n_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     print(json.dumps(_headline(sf_dir, n_cpus)))

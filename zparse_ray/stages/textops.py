@@ -19,6 +19,7 @@ import pyarrow as pa
 # a BPE-ish pre-tokenizer split (public GPT-2 pretokenizer flavor)
 _BPEISH = re.compile(r"[A-Za-zÀ-ɏ]+(?:'[a-z]+)?|\d+|[^\sA-Za-zÀ-ɏ\d]")
 _WS = re.compile(r"\s+")
+_NONWS = re.compile(r"\S+")
 
 # tiny per-language stopword/character profiles for the n-gram heuristic
 _LANG_PROFILES = {
@@ -32,11 +33,11 @@ _LANG_PROFILES = {
 def token_count_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     """Whitespace token counts per row (vectorized via pandas str ops);
     matches DuckDB's regexp_split semantics used by the oracle:
-    len(regexp_split(trim(text), '\\s+')), 0 for empty."""
+    len(regexp_split(trim(text), '\\s+')), 0 for empty. Counting
+    ``\\S+`` matches is equivalent (maximal non-space runs) and skips
+    the list materialization a split would do."""
     s = batch[column].to_pandas().fillna("")
-    stripped = s.str.strip()
-    n = stripped.str.split(_WS).map(len).astype("int64")
-    n[stripped == ""] = 0
+    n = s.str.count(_NONWS).astype("int64")
     return batch.append_column("n_tokens", pa.array(n.to_numpy(), pa.int64()))
 
 
@@ -49,7 +50,7 @@ class BpeishTokenCounter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         s = batch["text"].to_pandas().fillna("")
-        n = s.str.findall(self.pat).map(len).astype("int64")
+        n = s.str.count(self.pat).astype("int64")
         return batch.append_column("n_bpeish_tokens", pa.array(n.to_numpy(), pa.int64()))
 
 
