@@ -56,6 +56,7 @@ def _merge_partials(a: dict, b: dict) -> dict:
         "spans_tdigest": TDigest.from_bytes(a["spans_tdigest"]).merge(TDigest.from_bytes(b["spans_tdigest"])).to_bytes(),
         "doc_hll": HyperLogLog.from_bytes(a["doc_hll"]).merge(HyperLogLog.from_bytes(b["doc_hll"])).to_bytes(),
         "ref_hll": HyperLogLog.from_bytes(a["ref_hll"]).merge(HyperLogLog.from_bytes(b["ref_hll"])).to_bytes(),
+        "doc_hashes": a.get("doc_hashes", b"") + b.get("doc_hashes", b""),
     }
 
 
@@ -140,6 +141,7 @@ def run_validation(
 
         from ..stages.spancheck import DEFAULT_MAX_SPAN_BYTES, validate_task
 
+        total_docs = sum(expected.values())
         ds = rd.read_parquet(todo, override_num_blocks=len(todo))
         partials_ds = ds.map_batches(
             validate_task,
@@ -147,6 +149,7 @@ def run_validation(
                 "assets_ref": assets_ref,
                 "out_dir": out_dir,
                 "round_trip": round_trip,
+                "carry_doc_hashes": total_docs <= dup_driver_threshold,
                 "quarantine": quarantine,
                 "max_span_bytes": max_span_bytes
                 if max_span_bytes is not None
@@ -203,12 +206,52 @@ def run_validation(
         total_meta = sum(pq.ParquetFile(f).metadata.num_rows for f in meta_files)
         sel = None
         if total_meta <= dup_driver_threshold:
-            occ = pq.read_table(meta_files, columns=["partition_id", "doc_id"])
-            vc = pc.value_counts(occ["doc_id"].combine_chunks())
-            dup_mask = pc.greater(vc.field("counts"), 1)
-            dup_vals = vc.field("values").filter(dup_mask)
-            dup_counts = vc.field("counts").filter(dup_mask)
-            dup_count_of = dict(zip(dup_vals.to_pylist(), dup_counts.to_pylist()))
+            # hash-first fast path: scan ONLY the int64 doc_hash column
+            # (far cheaper to read and to value_count than the id
+            # strings); candidate hashes with count > 1 gate a pushdown
+            # read of the string rows, where the exact string
+            # value_counts removes hash collisions. Falls back to the
+            # string scan for docmeta written before doc_hash existed.
+            have_hash = "doc_hash" in pq.read_schema(meta_files[0]).names
+            if have_hash:
+                # candidate hashes come from the partials stream when it
+                # carried them (no docmeta re-read at all), else from the
+                # docmeta doc_hash column
+                hash_bufs = []
+                pfiles = sorted(glob.glob(os.path.join(out_dir, "partials", "part-*.parquet")))
+                if pfiles and "doc_hashes" in pq.read_schema(pfiles[0]).names:
+                    for buf in pq.read_table(pfiles, columns=["doc_hashes"])[
+                        "doc_hashes"
+                    ].to_pylist():
+                        if buf:
+                            hash_bufs.append(np.frombuffer(buf, dtype=np.uint64))
+                if hash_bufs and sum(len(x) for x in hash_bufs) == total_meta:
+                    allh = np.concatenate(hash_bufs)
+                    uniq, cnts = np.unique(allh, return_counts=True)
+                    cand = pa.array(uniq[cnts > 1].astype(np.int64), pa.int64())
+                else:
+                    vc_h = pc.value_counts(
+                        pq.read_table(meta_files, columns=["doc_hash"])["doc_hash"].combine_chunks()
+                    )
+                    cand = vc_h.field("values").filter(pc.greater(vc_h.field("counts"), 1))
+                if len(cand):
+                    import pyarrow.dataset as pads
+
+                    occ = pads.dataset(meta_files).to_table(
+                        columns=["partition_id", "doc_id"],
+                        filter=pads.field("doc_hash").isin(cand),
+                    )
+                else:
+                    occ = None
+            else:
+                occ = pq.read_table(meta_files, columns=["partition_id", "doc_id"])
+            dup_count_of = {}
+            if occ is not None and occ.num_rows:
+                vc = pc.value_counts(occ["doc_id"].combine_chunks())
+                dup_mask = pc.greater(vc.field("counts"), 1)
+                dup_vals = vc.field("values").filter(dup_mask)
+                dup_counts = vc.field("counts").filter(dup_mask)
+                dup_count_of = dict(zip(dup_vals.to_pylist(), dup_counts.to_pylist()))
             if dup_count_of:
                 sel = occ.filter(
                     pc.is_in(occ["doc_id"], value_set=pa.array(list(dup_count_of), pa.string()))

@@ -91,6 +91,11 @@ PARTIALS_SCHEMA = pa.schema(
         ("spans_tdigest", pa.binary()),
         ("doc_hll", pa.binary()),
         ("ref_hll", pa.binary()),
+        # uint64 doc_id hashes (tobytes), present only when the driver
+        # opted in (docmeta small enough for the driver dup path): lets
+        # phase 2a count dup candidates from the partials stream with no
+        # docmeta re-read. Empty at 10^12 scale (distributed dup path).
+        ("doc_hashes", pa.binary()),
     ]
 )
 
@@ -98,6 +103,8 @@ DOCMETA_SCHEMA = pa.schema(
     [
         ("partition_id", pa.int32()),
         ("doc_id", pa.string()),
+        ("doc_hash", pa.int64()),  # hash64(doc_id): dup detection scans
+        # this int column instead of the strings (phase 2a fast path)
         ("n_spans", pa.int32()),
         ("n_violations", pa.int32()),
     ]
@@ -208,6 +215,7 @@ class SpanValidator:
         assets_sorted: bool = False,
         quarantine: bool = False,
         parser_configs: dict | None = None,
+        carry_doc_hashes: bool = False,
     ):
         # broadcast key set: ray.put once on the driver, ray.get here
         # (zero-copy plasma read — never re-shipped per batch)
@@ -223,6 +231,7 @@ class SpanValidator:
         self.valid_kinds = frozenset(SPAN_KINDS)
         self.quarantine = quarantine
         self.parser_configs = parser_configs
+        self.carry_doc_hashes = carry_doc_hashes
         if out_dir:
             os.makedirs(os.path.join(out_dir, "violations"), exist_ok=True)
             os.makedirs(os.path.join(out_dir, "docmeta"), exist_ok=True)
@@ -345,6 +354,9 @@ class SpanValidator:
             schema=VIOLATIONS_SCHEMA,
         )
 
+        from ..functions.sketches import hash64 as _h64
+
+        doc_hashes = _h64(doc_np).astype(np.int64)
         # per-partition partials (a batch usually holds exactly one pid)
         partial_rows = []
         for pid in np.unique(pids):
@@ -377,6 +389,9 @@ class SpanValidator:
                     "spans_tdigest": td_spans.to_bytes(),
                     "doc_hll": hll_doc.to_bytes(),
                     "ref_hll": hll_ref.to_bytes(),
+                    "doc_hashes": (
+                        doc_hashes[rmask].tobytes() if self.carry_doc_hashes else b""
+                    ),
                 }
             )
 
@@ -394,6 +409,7 @@ class SpanValidator:
                     {
                         "partition_id": pa.array(pids[rmask].astype(np.int32)),
                         "doc_id": pa.array(doc_np[rmask], pa.string()),
+                        "doc_hash": pa.array(doc_hashes[rmask], pa.int64()),
                         "n_spans": pa.array(np.diff(list_offsets)[rmask].astype(np.int32)),
                         "n_violations": pa.array(viol_count_per_row[rmask]),
                     },
@@ -452,6 +468,7 @@ def validate_task(
     max_span_bytes: int = DEFAULT_MAX_SPAN_BYTES,
     quarantine: bool = False,
     parser_configs: dict | None = None,
+    carry_doc_hashes: bool = False,
 ) -> pa.Table:
     """Plain-function form for ``map_batches(validate_task,
     fn_kwargs=...)`` — stateless Ray tasks instead of an actor pool.
@@ -471,5 +488,6 @@ def validate_task(
         assets_sorted=True,
         quarantine=quarantine,
         parser_configs=parser_configs,
+        carry_doc_hashes=carry_doc_hashes,
     )
     return v(batch)
