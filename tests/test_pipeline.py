@@ -332,3 +332,20 @@ def test_violation_rows_carry_parser_line_col():
         assert line >= 1 and col >= 1
     # the JSON error is on line 3
     assert out[0][3] == 3
+
+
+def test_doc_hashes_not_carried_on_distributed_path(spans_dir, tmp_path):
+    # at 10^12 scale the partials stream must stay tiny: with the
+    # driver dup path disabled, no per-doc hashes ride to the driver
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from zparse_ray.pipelines.validate import run_validation
+
+    out = str(tmp_path / "no_hash_carry")
+    run_validation(spans_dir, out, round_trip=False, dup_driver_threshold=0)
+    pfiles = sorted(_glob.glob(out + "/partials/part-*.parquet"))
+    assert pfiles
+    t = _pq.read_table(pfiles, columns=["doc_hashes"])
+    assert all(len(b) == 0 for b in t["doc_hashes"].to_pylist())
