@@ -805,6 +805,83 @@ FROM documents GROUP BY lang
 """
 
 
+def bpeish_token_counts(sf_dir: str):
+    """BPE-ish pre-token counting per lang (the GPT-2-pretokenizer-
+    flavored regex, compiled once per actor in BpeishTokenCounter) —
+    oracle-checked against DuckDB's RE2 with the same pattern (both
+    engines use leftmost-first alternation)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.textops import BpeishTokenCounter
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    out = (
+        ds.map_batches(BpeishTokenCounter, batch_format="pyarrow", concurrency=2)
+        .groupby("lang")
+        .aggregate(
+            Sum("n_bpeish_tokens", alias_name="total_bpeish"),
+            Count(alias_name="n_docs"),
+        )
+    )
+    t = pa.Table.from_pylist(out.take_all())
+    return pa.table(
+        {
+            "lang": t["lang"],
+            "total_bpeish": pc.cast(t["total_bpeish"], pa.int64()),
+            "n_docs": t["n_docs"],
+        }
+    )
+
+
+_BPEISH_SQL = """
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]+(?:''[a-z]+)?|\\d+|[^\\sA-Za-zÀ-ɏ\\d]'))) AS BIGINT) AS total_bpeish,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def top_tokens(sf_dir: str, k: int = 20):
+    """Heavy hitters: top-k whitespace tokens across the corpus with a
+    deterministic tie-break. Scale shape: per-batch ``value_counts``
+    partials (combiner) shrink the shuffle to (token, partial_count)
+    rows — the raw token stream never shuffles; a keyed Sum then a
+    bounded sort+limit finish. Oracle-checked."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("")
+        ex = s.str.findall(r"\S+").explode().dropna()
+        if ex.empty:
+            return pa.table({"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        vc = ex.value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.astype(str), pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    top = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+    t = pa.Table.from_pylist(top.take_all())
+    return pa.table({"token": t["token"], "n": pc.cast(t["n"], pa.int64())})
+
+
+_TOPTOKENS_SQL = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents
+) GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
 def quality_stats(sf_dir: str):
     """Quality-signal aggregate per source (length stats + long-doc
     fraction)."""
@@ -2250,6 +2327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": events_sessionize,
         "events_per_type": events_per_type,
         "token_counts": token_counts,
+        "bpeish_token_counts": bpeish_token_counts,
+        "top_tokens": top_tokens,
         "quality_stats": quality_stats,
         "exact_dedup": exact_dedup,
         "minhash_lsh_neardup": minhash_lsh_neardup,
@@ -2295,6 +2374,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _SESSION_SQL,
         "events_per_type": _PERTYPE_SQL,
         "token_counts": _TOKENS_SQL,
+        "bpeish_token_counts": _BPEISH_SQL,
+        "top_tokens": _TOPTOKENS_SQL,
         "quality_stats": _QUALITY_SQL,
         "exact_dedup": _DEDUP_SQL,
         "ann_topk": _ANN_SQL,
