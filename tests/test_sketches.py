@@ -93,3 +93,30 @@ def test_bloom_merge():
     assert m.contains(np.array(["x1", "y1"], dtype=object)).all()
     m2 = BloomFilter.from_bytes(m.to_bytes())
     assert m2.contains(ka).all()
+
+
+def test_count_min_sketch_properties():
+    import numpy as np
+
+    from zparse_ray.functions.sketches import CountMinSketch
+
+    rng = np.random.default_rng(0)
+    items = np.array([f"tok{i}" for i in rng.integers(0, 500, 20_000)], dtype=object)
+    a, b = CountMinSketch(), CountMinSketch()
+    a.add(items[:10_000])
+    b.add(items[10_000:])
+    m = a.merge(b)
+    uniq, true = np.unique(items, return_counts=True)
+    est = m.estimate(uniq.astype(object))
+    # CMS never underestimates; merge == single-pass build
+    assert (est >= true).all()
+    whole = CountMinSketch()
+    whole.add(items)
+    assert (whole.estimate(uniq.astype(object)) == est).all()
+    # serialization round-trip
+    rt = CountMinSketch.from_bytes(m.to_bytes())
+    assert (rt.estimate(uniq.astype(object)) == est).all()
+    # weighted add equals repeated add
+    w = CountMinSketch()
+    w.add(uniq.astype(object), true.astype(np.int64))
+    assert (w.estimate(uniq.astype(object)) == est).all()

@@ -244,3 +244,59 @@ class BloomFilter:
         n_bits, k = struct.unpack_from("<qi", b, 0)
         bits = np.frombuffer(b, dtype=np.uint64, offset=struct.calcsize("<qi")).copy()
         return cls(n_bits, k, bits)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (heavy hitters at 10^12-token scale)
+
+
+class CountMinSketch:
+    """Count-Min sketch: ``depth`` rows of ``width`` counters; insert
+    adds each item's count at one hashed slot per row, estimate takes
+    the row-wise MIN (always >= the true count). Mergeable by counter
+    addition — the partial/merge shape every sketch here follows. The
+    exact ``top_tokens`` query is its checkable counterpart; this is
+    the scale path when the distinct-token set itself cannot shuffle."""
+
+    __slots__ = ("depth", "width", "counts")
+
+    def __init__(self, width: int = 4096, depth: int = 4, counts: np.ndarray | None = None):
+        self.width = width
+        self.depth = depth
+        self.counts = (
+            counts if counts is not None else np.zeros((depth, width), dtype=np.int64)
+        )
+
+    def add(self, items: np.ndarray, weights: np.ndarray | None = None) -> None:
+        if not len(items):
+            return
+        w = weights if weights is not None else np.ones(len(items), dtype=np.int64)
+        for d in range(self.depth):
+            idx = (hash64(items, seed=d + 1) % np.uint64(self.width)).astype(np.int64)
+            np.add.at(self.counts[d], idx, w)
+
+    def estimate(self, items: np.ndarray) -> np.ndarray:
+        if not len(items):
+            return np.zeros(0, dtype=np.int64)
+        est = np.full(len(items), np.iinfo(np.int64).max, dtype=np.int64)
+        for d in range(self.depth):
+            idx = (hash64(items, seed=d + 1) % np.uint64(self.width)).astype(np.int64)
+            est = np.minimum(est, self.counts[d][idx])
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        return CountMinSketch(self.width, self.depth, self.counts + other.counts)
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        return struct.pack("<II", self.depth, self.width) + self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CountMinSketch":
+        import struct
+
+        depth, width = struct.unpack("<II", b[:8])
+        counts = np.frombuffer(b[8:], dtype=np.int64).reshape(depth, width).copy()
+        return cls(width, depth, counts)

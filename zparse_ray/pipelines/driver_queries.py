@@ -882,6 +882,71 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
 """
 
 
+def top_tokens_cms(sf_dir: str, k: int = 20):
+    """Approximate heavy hitters via Count-Min sketch — the 10^12-token
+    scale path for top_tokens: each block contributes one serialized
+    CMS plus its local top-64 candidate tokens (O(blocks) tiny rows to
+    the driver; the token stream itself never shuffles, unlike the
+    exact query's (token, count) exchange). The driver tree-merges the
+    sketches, estimates candidate counts, and self-reports agreement
+    with the exact oracle-checked top_tokens: overlap size and the
+    worst CMS overestimate (CMS never underestimates). Rows-only
+    (approximate by design; exact counterpart is hash-green)."""
+    from ..functions.sketches import CountMinSketch
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("")
+        ex = s.str.findall(r"\S+").explode().dropna()
+        cms = CountMinSketch()
+        if ex.empty:
+            return pa.table(
+                {
+                    "cms": pa.array([cms.to_bytes()], pa.binary()),
+                    "cand": pa.array([[]], pa.list_(pa.string())),
+                }
+            )
+        vc = ex.value_counts()
+        cms.add(vc.index.to_numpy(dtype=object), vc.to_numpy(np.int64))
+        return pa.table(
+            {
+                "cms": pa.array([cms.to_bytes()], pa.binary()),
+                "cand": pa.array([list(vc.index[:64].astype(str))], pa.list_(pa.string())),
+            }
+        )
+
+    merged = None
+    cands: set[str] = set()
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        sk = CountMinSketch.from_bytes(r["cms"])
+        merged = sk if merged is None else merged.merge(sk)
+        cands.update(r["cand"])
+    if merged is None or not cands:
+        return pa.Table.from_pylist(
+            [{"k": k, "n_in_exact": 0, "max_overestimate": 0}]
+        )
+    cand_arr = np.array(sorted(cands), dtype=object)
+    est = merged.estimate(cand_arr)
+    order = np.lexsort((cand_arr, -est))[:k]
+    approx = {str(cand_arr[i]): int(est[i]) for i in order}
+
+    exact = {
+        r["token"]: r["n"] for r in top_tokens(sf_dir, k).to_pylist()
+    }
+    overlap = set(approx) & set(exact)
+    max_over = max((approx[t] - exact[t] for t in overlap), default=0)
+    return pa.Table.from_pylist(
+        [
+            {
+                "k": k,
+                "n_in_exact": len(overlap),
+                "max_overestimate": int(max_over),
+            }
+        ]
+    )
+
+
 def quality_stats(sf_dir: str):
     """Quality-signal aggregate per source (length stats + long-doc
     fraction)."""
@@ -2329,6 +2394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": token_counts,
         "bpeish_token_counts": bpeish_token_counts,
         "top_tokens": top_tokens,
+        "top_tokens_cms": top_tokens_cms,
         "quality_stats": quality_stats,
         "exact_dedup": exact_dedup,
         "minhash_lsh_neardup": minhash_lsh_neardup,
