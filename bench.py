@@ -259,7 +259,7 @@ def main() -> None:
             t, c = best(key)
             effs[key] = round((t / t_big) / (big_n / ncpu), 3)
             all_clean = all_clean and c
-        dense_keys = [k for k, n, sp in levels if sp > 0]
+        dense_keys = [k for k, n, sp in levels if sp > 0 and k != big_key]
         raw_keys = [k for k, n, sp in levels if sp == 0 and k != big_key]
         value = effs[dense_keys[0]] if dense_keys else (effs[raw_keys[0]] if raw_keys else 1.0)
         out = {

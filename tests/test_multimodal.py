@@ -117,3 +117,28 @@ def test_media_extractor_png_decoder_real_pixels():
     feats = np.asarray(out["feature"][0].as_py())
     assert np.allclose(feats, 1 / 8)
     assert out["n_frames"][0].as_py() == 1
+
+
+def test_png_decoder_tiny_image_features_finite():
+    import numpy as np
+    import pyarrow as pa
+
+    from zparse_ray.functions.png_codec import PngError, decode_png, encode_png
+    from zparse_ray.stages.multimodal import MediaFeatureExtractor
+
+    # image smaller than the 8x8 pooling grid must not produce NaNs
+    img = np.full((2, 3), 50, dtype=np.uint8)
+    batch = pa.table(
+        {
+            "asset_id": pa.array(["t"], pa.string()),
+            "kind": pa.array(["image"], pa.string()),
+            "payload": pa.array([encode_png(img)], pa.binary()),
+        }
+    )
+    f = np.asarray(MediaFeatureExtractor(decoder="png")(batch)["feature"][0].as_py())
+    assert np.isfinite(f).all()
+    # truncation inside the CRC field classifies as PngError, not struct.error
+    import pytest
+
+    with pytest.raises(PngError):
+        decode_png(encode_png(img)[:-2])

@@ -110,7 +110,7 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        if len(body) != length or pos + 12 + length > len(data):
             raise PngError("truncated chunk")
         crc_expect = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc_expect:

@@ -808,8 +808,11 @@ FROM documents GROUP BY lang
 def bpeish_token_counts(sf_dir: str):
     """BPE-ish pre-token counting per lang (the GPT-2-pretokenizer-
     flavored regex, compiled once per actor in BpeishTokenCounter) —
-    oracle-checked against DuckDB's RE2 with the same pattern (both
-    engines use leftmost-first alternation)."""
+    oracle-checked against DuckDB's RE2 with the same pattern. Parity
+    caveat: both engines use leftmost-first alternation, but Python's
+    \d/\s are Unicode-aware while RE2's are ASCII — identical on this
+    corpus (ASCII whitespace/digits only), divergent on e.g. \xa0 or
+    non-ASCII digits (same latent caveat as token_counts' \s+)."""
     from ray.data.aggregate import Count, Sum
 
     from ..stages.textops import BpeishTokenCounter
@@ -1054,8 +1057,10 @@ def minhash_lsh_neardup(sf_dir: str):
         import logging
 
         logging.getLogger("zparse_ray.dedup").warning(
-            "minhash_lsh_neardup: %d docs dropped from hot LSH buckets (cap=64) — "
-            "near-dup recall is reduced; raise the cap or salt the bands",
+            "minhash_lsh_neardup: %d doc-slot drops from hot LSH buckets (cap=64; "
+            "a doc capped in k bands counts k times, and capped docs may still "
+            "pair via other bands) — near-dup recall is reduced; raise the cap "
+            "or salt the bands",
             n_dropped,
         )
     # exact verification on the candidate set only: broadcast the TINY
@@ -1115,7 +1120,8 @@ def simhash_neardup(sf_dir: str):
         import logging
 
         logging.getLogger("zparse_ray.dedup").warning(
-            "simhash_neardup: %d docs dropped from hot simhash buckets (cap=64) — "
+            "simhash_neardup: %d doc-slot drops from hot simhash buckets (cap=64; "
+            "per-(band, bucket) counting, a doc may count in several bands) — "
             "near-dup recall is reduced",
             n_dropped,
         )

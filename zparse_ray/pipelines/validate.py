@@ -212,7 +212,13 @@ def run_validation(
             # read of the string rows, where the exact string
             # value_counts removes hash collisions. Falls back to the
             # string scan for docmeta written before doc_hash existed.
-            have_hash = "doc_hash" in pq.read_schema(meta_files[0]).names
+            # EVERY file must carry doc_hash — a resume across engine
+            # versions can mix old-schema docmeta in, where read_table
+            # would null-fill the hashes and silently drop cross-file
+            # duplicates from the candidate set
+            have_hash = all(
+                "doc_hash" in pq.read_schema(f).names for f in meta_files
+            )
             if have_hash:
                 # candidate hashes come from the partials stream when it
                 # carried them (no docmeta re-read at all), else from the

@@ -89,11 +89,14 @@ class MediaFeatureExtractor:
             grey = arr.astype(np.float32)
             if grey.ndim == 3:
                 grey = grey.mean(axis=2)
-            # mean-pool onto a side x side grid (pad feat_dim tail with 0)
+            # mean-pool onto at most a side x side grid; images smaller
+            # than the grid use one cell per pixel row/col (an empty
+            # split chunk would mean() to NaN and poison the vector)
+            sy, sx = min(side, grey.shape[0]), min(side, grey.shape[1])
             pooled = np.array(
                 [
-                    [c.mean() for c in np.array_split(r, side, axis=1)]
-                    for r in np.array_split(grey, side, axis=0)
+                    [c.mean() for c in np.array_split(r, sx, axis=1)]
+                    for r in np.array_split(grey, sy, axis=0)
                 ],
                 dtype=np.float32,
             ).ravel()
