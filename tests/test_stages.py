@@ -555,3 +555,47 @@ def test_candidate_pair_caps_emit_truncation_markers():
     out2 = simhash_candidate_pairs(g2)
     m2 = out2[out2["a"] < 0]
     assert len(m2) == 1 and int(m2["n_dropped"].iloc[0]) == 6
+
+
+def test_bucketed_asof_join_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from zparse_ray.stages.joins import bucketed_asof_join
+
+    rng = np.random.default_rng(21)
+    n_l, n_r = 600, 200
+    left = pd.DataFrame(
+        {
+            "ts": rng.integers(0, 10_000, n_l).astype(np.int64),
+            "user": rng.integers(0, 25, n_l).astype(np.int64),
+            "val": rng.random(n_l),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "ts": rng.integers(0, 10_000, n_r).astype(np.int64),
+            "user": rng.integers(0, 25, n_r).astype(np.int64),
+            "ref": rng.random(n_r),
+        }
+    )
+    lds = rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+    rds = rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+    out = bucketed_asof_join(
+        lds, rds, on="ts", by="user", right_cols=["ref"], n_buckets=8
+    )
+    got = (
+        pd.DataFrame(out.take_all())
+        .sort_values(["user", "ts", "val"])
+        .reset_index(drop=True)[["ts", "user", "val", "ref"]]
+        .astype({"ref": "float64"})
+    )
+    expect = pd.merge_asof(
+        left.sort_values(["ts", "user"], kind="mergesort"),
+        right.sort_values(["ts", "user"], kind="mergesort"),
+        on="ts",
+        by="user",
+        allow_exact_matches=False,
+        direction="backward",
+    ).sort_values(["user", "ts", "val"]).reset_index(drop=True)[["ts", "user", "val", "ref"]]
+    pd.testing.assert_frame_equal(got, expect)

@@ -206,6 +206,75 @@ def bucketed_semi_mark(
     return tl.union(tk).groupby("__bucket").map_groups(mark_bucket, batch_format="pyarrow")
 
 
+def bucketed_asof_join(
+    left_ds,
+    right_ds,
+    *,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    n_buckets: int = 64,
+    allow_exact_matches: bool = False,
+    direction: str = "backward",
+):
+    """Distributed as-of join: every left row joins the nearest prior
+    (or following) right row of the same ``by`` key. Scale shape: both
+    sides co-locate by ``hash(by) % n_buckets`` with ONE shuffle; each
+    bucket sorts once by ``on`` and a single C-level
+    ``pd.merge_asof(..., by=by)`` handles every key in the bucket — no
+    per-key map_groups dispatch. ``by`` must be integer-typed (the
+    bucket hash uses modulo); ``right_cols`` are the right-side value
+    columns to carry (must not collide with left columns). Rows with no
+    match carry nulls for ``right_cols``."""
+    left_schema = left_ds.schema()
+    left_cols = list(left_schema.names)
+    shared = set(left_cols) & set(right_cols)
+    if shared:
+        raise ValueError(f"column collision: {sorted(shared)}")
+    col_type = dict(zip(right_ds.schema().names, right_ds.schema().types))
+
+    def tag(side: int, own):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {}
+            for c in left_cols:
+                cols[c] = t[c] if side == 0 else pa.nulls(t.num_rows, type=dict(zip(left_schema.names, left_schema.types))[c])
+            for c in right_cols:
+                cols[c] = t[c] if side == 1 else pa.nulls(t.num_rows, type=col_type[c])
+            if side == 1:
+                cols[on] = t[on]
+                cols[by] = t[by]
+            uid = t[by].to_numpy()
+            cols["__bucket"] = pa.array((uid % n_buckets).astype(np.int64), pa.int64())
+            cols["__side"] = pa.array(np.full(t.num_rows, side, dtype=np.int8), pa.int8())
+            return pa.table(cols)
+
+        return f
+
+    tl = left_ds.map_batches(tag(0, left_cols), batch_format="pyarrow")
+    tr = right_ds.map_batches(tag(1, right_cols), batch_format="pyarrow")
+
+    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lf = df[df["__side"] == 0][left_cols].sort_values([on, by], kind="mergesort")
+        rf = df[df["__side"] == 1][[on, by] + right_cols].sort_values(
+            [on, by], kind="mergesort"
+        )
+        if rf.empty:
+            out = lf.copy()
+            for c in right_cols:
+                out[c] = pd.NA
+            return out
+        return pd.merge_asof(
+            lf,
+            rf,
+            on=on,
+            by=by,
+            allow_exact_matches=allow_exact_matches,
+            direction=direction,
+        )
+
+    return tl.union(tr).groupby("__bucket").map_groups(asof_bucket, batch_format="pandas")
+
+
 def broadcast_join(ds, small_df: pd.DataFrame, *, left_on: str, right_on: str, how: str = "inner"):
     """Broadcast the small side once via ray.put; merge per batch."""
     import ray
