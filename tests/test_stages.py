@@ -599,3 +599,45 @@ def test_bucketed_asof_join_matches_pandas(ray_session):
         direction="backward",
     ).sort_values(["user", "ts", "val"]).reset_index(drop=True)[["ts", "user", "val", "ref"]]
     pd.testing.assert_frame_equal(got, expect)
+
+
+def test_grouped_exact_ranks_edge_distributions(ray_session):
+    import math
+
+    import duckdb
+    import ray.data as rd
+
+    from zparse_ray.stages.stats import grouped_exact_ranks
+
+    rng = np.random.default_rng(13)
+    # one table, every edge shape as its own group, narrowing forced
+    groups = {
+        "all_equal": np.full(3000, 7.25),
+        "two_values": np.where(rng.random(3000) < 0.3, -1.5, 2.5),
+        "negatives": -rng.lognormal(2, 1, 3000),
+        "huge_range": np.concatenate([rng.random(1500) * 1e-9, rng.random(1500) * 1e12]),
+        "tiny": np.array([3.0, 1.0, 2.0]),
+        "single": np.array([42.0]),
+        "ties": rng.integers(0, 10, 3000).astype(np.float64),
+    }
+    g = np.concatenate([[k] * len(v) for k, v in groups.items()])
+    x = np.concatenate(list(groups.values()))
+    ds = rd.from_arrow(pa.table({"g": g, "x": x}))
+    qs = [0.01, 0.5, 0.99]
+    values, group_n = grouped_exact_ranks(
+        ds,
+        "x",
+        "g",
+        lambda n: sorted({max(0, math.ceil(q * n) - 1) for q in qs}),
+        n_bins=16,
+        max_collect=50,
+    )
+    con = duckdb.connect()
+    con.register("tt", pa.table({"g": g, "x": x}))
+    for name, expect in con.execute(
+        f"SELECT g, quantile_disc(x, {qs}) FROM tt GROUP BY g"
+    ).fetchall():
+        n = group_n[name]
+        for q, e in zip(qs, expect):
+            rank = max(0, math.ceil(q * n) - 1)
+            assert values[(name, rank)] == e, (name, q, values[(name, rank)], e)
