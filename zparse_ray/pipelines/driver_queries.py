@@ -2122,10 +2122,88 @@ FROM qv
 """
 
 
+def drift_binned_ks(sf_dir: str, n_bins: int = 1000):
+    """D8's ORACLE-CHECKABLE facet: exact two-sample binned-KS between
+    the even- and odd-event_id halves of events.value. Distribution
+    shape: one min/max partial pass, then one pass building per-batch
+    (half, bin) count arrays — O(n_bins) ints per block reach the
+    driver, never rows; the binning float expr matches the SQL
+    operation-for-operation so the statistic is bit-identical. (The
+    flagship drift_check uses t-digest KS against a frozen profile —
+    approximate by design; this exact binned variant is its green
+    counterpart.)"""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def mm(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        return pa.table(
+            {"lo": pa.array([float(v.min())]), "hi": pa.array([float(v.max())])}
+        )
+
+    import math as _math
+
+    lo, hi = _math.inf, -_math.inf
+    for r in ds.map_batches(mm, batch_format="pyarrow").take_all():
+        lo, hi = min(lo, r["lo"]), max(hi, r["hi"])
+    if not (hi > lo):  # degenerate: all values equal -> KS is 0
+        return pa.Table.from_pylist([{"ks_scaled": 0}])
+
+    def binpart(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        # EXACT float-op order parity with the SQL:
+        # (value - lo) / (hi - lo) * n_bins, floored, clamped
+        b = np.clip(
+            np.floor((v - lo) / (hi - lo) * n_bins).astype(np.int64), 0, n_bins - 1
+        )
+        is_a = eid % 2 == 0
+        na = np.bincount(b[is_a], minlength=n_bins).astype(np.int64)
+        nb = np.bincount(b[~is_a], minlength=n_bins).astype(np.int64)
+        return pa.table(
+            {
+                "na": pa.array([na.tobytes()], pa.binary()),
+                "nb": pa.array([nb.tobytes()], pa.binary()),
+            }
+        )
+
+    na = np.zeros(n_bins, np.int64)
+    nb = np.zeros(n_bins, np.int64)
+    for r in ds.map_batches(binpart, batch_format="pyarrow").take_all():
+        na += np.frombuffer(r["na"], dtype=np.int64)
+        nb += np.frombuffer(r["nb"], dtype=np.int64)
+    ca = np.cumsum(na) * 1.0 / na.sum()
+    cb = np.cumsum(nb) * 1.0 / nb.sum()
+    ks = float(np.abs(ca - cb).max())
+    return pa.Table.from_pylist(
+        [{"ks_scaled": int(np.floor(ks * 1_000_000 + 0.5))}]
+    )
+
+
+_BINNED_KS_SQL = """
+WITH bounds AS (SELECT MIN(value) lo, MAX(value) hi FROM events),
+binned AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((value - lo) / NULLIF(hi - lo, 0) * 1000) AS BIGINT), 0), 999) AS b,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+  FROM events, bounds
+),
+agg AS (
+  SELECT b, SUM(is_a) AS na, SUM(1 - is_a) AS nb FROM binned GROUP BY b
+),
+cum AS (
+  SELECT b,
+         SUM(na) OVER (ORDER BY b) * 1.0 / (SELECT SUM(na) FROM agg) AS ca,
+         SUM(nb) OVER (ORDER BY b) * 1.0 / (SELECT SUM(nb) FROM agg) AS cb
+  FROM agg
+)
+SELECT CAST(FLOOR(MAX(ABS(ca - cb)) * 1000000 + 0.5) AS BIGINT) AS ks_scaled FROM cum
+"""
+
+
 def drift_check(sf_dir: str):
     """D8 distribution drift: freeze a profile from a clean reference
     run, validate a shifted dataset against it, return per-partition
-    KS/PSI verdicts. Rows-only (profile + thresholds engine-defined)."""
+    KS/PSI verdicts. Rows-only (profile + thresholds engine-defined);
+    its exact SQL-checkable facet is drift_binned_ks."""
     import shutil as _shutil
 
     import pyarrow.parquet as _pq
@@ -2422,6 +2500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_sum": events_running_sum,
         "median_value_by_type": median_value_by_type,
         "drift_check": drift_check,
+        "drift_binned_ks": drift_binned_ks,
         "supplier_balance_by_nation": supplier_balance_by_nation,
         "bloom_uniqueness": bloom_uniqueness,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2472,4 +2551,5 @@ def oracle_sql() -> dict[str, str]:
         "yaml_roundtrip_agg": _GRAMMAR_RT_SQL,
         "xml_roundtrip_agg": _GRAMMAR_RT_SQL,
         "bloom_uniqueness": _BLOOM_SQL,
+        "drift_binned_ks": _BINNED_KS_SQL,
     }
