@@ -12,17 +12,18 @@ Scale notes are inline per query: broadcast joins for small sides,
 partial aggregation before shuffles, partial-set unions for
 low-cardinality distincts, sketches for the approximate variants.
 
-32 of 43 queries carry oracle SQL. The 11 rows-only ones are rows-only
+42 of 53 queries carry oracle SQL. The 11 rows-only ones are rows-only
 for a REASON, not lack of effort:
 - minhash_lsh_neardup / embedding_neardup_lsh / ann_ivf_topk /
   simhash_neardup: approximate-by-design (LSH/IVF recall < 1); each
   reports recall against its exact counterpart, and the exact
   counterparts (ngram_jaccard_neardup, embedding_neardup_exact,
   ann_topk, exact_dedup) ARE oracle-checked
-- doc_fingerprints / lang_id_agreement / quality_scores / drift_check:
-  engine-defined functions (rolling hash, n-gram profiles, score
-  weights, KS/PSI thresholds) with no ANSI-SQL equivalent; their
-  SQL-expressible facets are covered by token_counts/quality_stats
+- doc_fingerprints / lang_id_agreement / quality_scores / drift_check /
+  top_tokens_cms: engine-defined functions (rolling hash, n-gram
+  profiles, score weights, KS/PSI thresholds, CMS estimates) with no
+  ANSI-SQL equivalent; their SQL-expressible facets are covered by
+  token_counts / quality_stats / drift_binned_ks / top_tokens
 - convert_matrix / validate_spans_summary / media_features: operate on
   engine-synthesized inputs (spans tables, fake-decoded assets) that
   are not registered driver views; their semantics are pytest-verified
