@@ -125,3 +125,44 @@ def test_pull_events_are_incremental():
         "ObjectStart", "Key", "ArrayStart", "Value", "ArrayEnd", "ObjectEnd", "Eof",
     ]
     assert p.next_event() is None  # reference: Ok(None) after Eof
+
+
+def test_toml_pull_events_fold_to_dom():
+    from zparse_ray.functions.errors import ParseError
+    from zparse_ray.functions.events import EOF, KEY_VALUE, TABLE_START, TomlEventParser
+    from zparse_ray.functions.toml_parser import parse_toml
+
+    doc = (
+        'top = 1\n[server]\nhost = "x"\nport = 8001\n'
+        '[[jobs]]\nname = "a"\n[[jobs]]\nname = "b"\nnested.key = 2\n'
+    )
+    p = TomlEventParser(doc)
+    evs = list(p)
+    kinds = [k for k, _ in evs]
+    assert kinds == [
+        KEY_VALUE, TABLE_START, KEY_VALUE, KEY_VALUE,
+        TABLE_START, KEY_VALUE, TABLE_START, KEY_VALUE, KEY_VALUE, EOF,
+    ]
+    assert evs[1][1] == {"path": ["server"], "is_array": False}
+    assert evs[4][1] == {"path": ["jobs"], "is_array": True}
+    assert evs[-2][1] == {"key": ["nested", "key"], "value": 2.0}
+    # the fold IS the reference's parse(): root matches parse_toml
+    assert p.root == parse_toml(doc)
+    assert p.next_event() is None
+
+    # parse-level errors are LAZY: the first statement's event is
+    # delivered before the duplicate-key statement raises
+    bad = "a = 1\na = 2\n"
+    try:
+        parse_toml(bad)
+        raise AssertionError("expected dup error")
+    except ParseError as e:
+        expect = (e.check_id, e.offset)
+    q = TomlEventParser(bad)
+    assert q.next_event()[0] == KEY_VALUE
+    import pytest
+
+    with pytest.raises(ParseError) as ei:
+        while q.next_event() is not None:
+            pass
+    assert (ei.value.check_id, ei.value.offset) == expect

@@ -228,6 +228,80 @@ class JsonEventParser:
             yield ev
 
 
+# TOML event kinds (toml/event.rs:7-12 vocabulary)
+TABLE_START = "TableStart"
+KEY_VALUE = "KeyValue"
+
+
+class TomlEventParser:
+    """TRUE pull-based TOML event stream with the reference's own TOML
+    vocabulary (toml/event.rs:7-12): ``TableStart {path, is_array}``
+    and ``KeyValue {key, value}``, one statement consumed per
+    ``next_event()`` call — the reference's `parse()` is literally a
+    fold over this stream (toml/parser.rs:88-127). The parser keeps the
+    growing DOM so duplicate-key/table conflicts raise at the exact
+    event where the reference would raise; the fully-folded root is
+    available as ``.root`` after Eof.
+
+    Divergence from the reference's laziness: our TOML LEXER is eager
+    (the master-regex scan is what makes the Python grammar walk fast),
+    so purely LEXICAL errors raise at construction; parse/DOM-fold
+    errors (bad headers, duplicate keys, type conflicts) surface lazily
+    at the event that triggers them, as in the reference."""
+
+    def __init__(self, text: str, config=None):
+        from .errors import MAX_SIZE_EXCEEDED
+        from .toml_parser import TomlConfig, _TomlParser
+
+        cfg = config or TomlConfig()
+        if cfg.max_size > 0 and len(text.encode("utf-8", "surrogatepass")) > cfg.max_size:
+            raise ParseError(
+                MAX_SIZE_EXCEEDED, f"maximum size exceeded: {cfg.max_size}", 0, 1, 1
+            )
+        self._p = _TomlParser(text, cfg)
+        self._done = False
+
+    @property
+    def root(self) -> dict:
+        return self._p.root
+
+    def next_event(self) -> tuple[str, object] | None:
+        if self._done:
+            return None
+        from .toml_parser import DLB, EOF as T_EOF, EQ, LB, RB, DRB
+
+        p = self._p
+        t = p.next_non_nl()
+        kind = t[0]
+        if kind == T_EOF:
+            self._done = True
+            return (EOF, None)
+        if kind in (LB, DLB):
+            is_array = kind == DLB
+            path = p.parse_table_header(RB if kind == LB else DRB, t[2])
+            if is_array:
+                p.ensure_array_table(path, t[2])
+            else:
+                p.ensure_table(path, t[2])
+            p.current_table = path
+            p.current_is_array = is_array
+            return (TABLE_START, {"path": path, "is_array": is_array})
+        key = p.parse_key_path(t)
+        p.expect(EQ)
+        value = p.parse_value()
+        target = (
+            p.array_table_last(p.current_table, t[2])
+            if p.current_is_array
+            else p.table_at(p.current_table, t[2])
+        )
+        p.insert_dotted(target, key, value, t[2])
+        return (KEY_VALUE, {"key": key, "value": value})
+
+    def __iter__(self) -> Iterator[tuple[str, object]]:
+        while (ev := self.next_event()) is not None:
+            yield ev
+
+
 def parse_events(text: str, fmt: str) -> Iterator[tuple[str, object]]:
     """Parse `text` as `fmt` and yield its event stream, terminated by
     an Eof event (reference `next_event` returns Eof at end). JSON and
