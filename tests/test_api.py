@@ -166,3 +166,20 @@ def test_toml_pull_events_fold_to_dom():
         while q.next_event() is not None:
             pass
     assert (ei.value.check_id, ei.value.offset) == expect
+
+
+def test_yaml_events_use_reference_vocabulary():
+    from zparse_ray.functions.events import EOF, YamlEventParser
+
+    doc = "server:\n  host: x\n  ports:\n    - 1\n    - 2\n"
+    evs = list(YamlEventParser(doc))
+    assert [k for k, _ in evs] == [
+        "MappingStart", "Key", "MappingStart", "Key", "Value", "Key",
+        "SequenceStart", "Value", "Value", "SequenceEnd",
+        "MappingEnd", "MappingEnd", EOF,
+    ]
+    p = YamlEventParser("a: 1\n")
+    assert p.next_event() == ("MappingStart", None)
+    while p.next_event() is not None:
+        pass
+    assert p.next_event() is None

@@ -302,6 +302,55 @@ class TomlEventParser:
             yield ev
 
 
+# YAML event kinds (yaml/event.rs:7-14 vocabulary)
+MAPPING_START = "MappingStart"
+MAPPING_END = "MappingEnd"
+SEQUENCE_START = "SequenceStart"
+SEQUENCE_END = "SequenceEnd"
+
+_YAML_KIND = {
+    OBJECT_START: MAPPING_START,
+    OBJECT_END: MAPPING_END,
+    ARRAY_START: SEQUENCE_START,
+    ARRAY_END: SEQUENCE_END,
+}
+
+
+class YamlEventParser:
+    """YAML event stream with the reference's YAML vocabulary
+    (MappingStart/MappingEnd/SequenceStart/SequenceEnd/Key/Value,
+    yaml/event.rs:7-14). EXACT behavioral parity with the reference,
+    which is itself NOT incremental for YAML: its ``next_event`` parses
+    the whole document on the first call and then drains a queue of
+    events emitted from the folded value (yaml/parser.rs:75-90) — this
+    does the same (parse at construction, one event per call)."""
+
+    def __init__(self, text: str, config=None):
+        from .yaml_parser import parse_yaml
+
+        value = parse_yaml(text, config) if config is not None else parse_yaml(text)
+
+        def gen():
+            for kind, payload in iter_events(value):
+                yield (_YAML_KIND.get(kind, kind), payload)
+            yield (EOF, None)
+
+        self._it = gen()
+        self._done = False
+
+    def next_event(self) -> tuple[str, object] | None:
+        if self._done:
+            return None
+        ev = next(self._it, None)
+        if ev is None or ev[0] == EOF:
+            self._done = True
+        return ev
+
+    def __iter__(self) -> Iterator[tuple[str, object]]:
+        while (ev := self.next_event()) is not None:
+            yield ev
+
+
 def parse_events(text: str, fmt: str) -> Iterator[tuple[str, object]]:
     """Parse `text` as `fmt` and yield its event stream, terminated by
     an Eof event (reference `next_event` returns Eof at end). JSON and
