@@ -153,3 +153,28 @@ def test_fuzz_pull_events_differential(doc):
     except ParseError as e:
         pull, e_pull = None, (e.check_id, e.offset)
     assert e_dom == e_pull and dom == pull, (doc, e_dom, e_pull)
+
+
+@given(st.text(alphabet='[]{}=.,"\'\n abc1_-#', max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_fuzz_toml_pull_events_differential(doc):
+    """TOML pull event stream and DOM parser agree on accept/reject,
+    error identity, and the folded root for arbitrary TOML-ish text."""
+    from zparse_ray.functions.errors import ParseError
+    from zparse_ray.functions.events import TomlEventParser
+
+    try:
+        dom = parse_toml(doc)
+        e_dom = None
+    except ParseError as e:
+        dom, e_dom = None, (e.check_id, e.offset)
+    except RecursionError:
+        return
+    try:
+        p = TomlEventParser(doc)
+        while p.next_event() is not None:
+            pass
+        root, e_pull = p.root, None
+    except ParseError as e:
+        root, e_pull = None, (e.check_id, e.offset)
+    assert e_dom == e_pull and dom == root, (doc, e_dom, e_pull)
