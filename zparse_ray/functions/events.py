@@ -12,10 +12,17 @@ loop (json/parser.rs:119-151; its `parse_value()` is a fold over this
 same stream). Errors surface at the event where the offending token is
 pulled, with the DOM parser's exact check_ids and positions.
 
-TOML/YAML event streams remain DOM-derived: those grammars need
-lookahead/indent context that makes the derived stream the pragmatic
-form, and the observable contract (event kinds + order per document)
-is identical either way.
+TOML gets a statement-level pull parser in the reference's OWN
+vocabulary (``TomlEventParser`` — TableStart/KeyValue,
+toml/event.rs:7-12; parse errors surface lazily at the triggering
+event; the lexer is eager, see the class docstring). YAML gets
+``YamlEventParser`` in the reference YAML vocabulary
+(MappingStart/.../SequenceEnd) with EXACT behavioral parity — the
+reference's YAML next_event itself parses fully up front and drains a
+queue (yaml/parser.rs:75-90). The generic ``parse_events(text, fmt)``
+entry point yields the NORMALIZED JSON-style vocabulary for every
+format (one uniform stream for cross-format consumers); use the
+per-format classes for the reference's native vocabularies.
 """
 
 from __future__ import annotations

@@ -12,7 +12,7 @@ Scale notes are inline per query: broadcast joins for small sides,
 partial aggregation before shuffles, partial-set unions for
 low-cardinality distincts, sketches for the approximate variants.
 
-42 of 53 queries carry oracle SQL. The 11 rows-only ones are rows-only
+41 of 53 queries carry oracle SQL. The 12 rows-only ones are rows-only
 for a REASON, not lack of effort:
 - minhash_lsh_neardup / embedding_neardup_lsh / ann_ivf_topk /
   simhash_neardup: approximate-by-design (LSH/IVF recall < 1); each
@@ -2172,6 +2172,9 @@ def drift_binned_ks(sf_dir: str, n_bins: int = 1000):
     for r in ds.map_batches(binpart, batch_format="pyarrow").take_all():
         na += np.frombuffer(r["na"], dtype=np.int64)
         nb += np.frombuffer(r["nb"], dtype=np.int64)
+    if na.sum() == 0 or nb.sum() == 0:
+        # one parity half empty: the SQL's 0/0 division yields NULL
+        return pa.table({"ks_scaled": pa.array([None], pa.int64())})
     ca = np.cumsum(na) * 1.0 / na.sum()
     cb = np.cumsum(nb) * 1.0 / nb.sum()
     ks = float(np.abs(ca - cb).max())

@@ -213,66 +213,93 @@ def bucketed_asof_join(
     on: str,
     by: str,
     right_cols: list[str],
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
+    est_rows: int | None = None,
     allow_exact_matches: bool = False,
     direction: str = "backward",
 ):
     """Distributed as-of join: every left row joins the nearest prior
     (or following) right row of the same ``by`` key. Scale shape: both
-    sides co-locate by ``hash(by) % n_buckets`` with ONE shuffle; each
-    bucket sorts once by ``on`` and a single C-level
+    sides co-locate by ``hash(by) % n_buckets`` (same skew-safe hash +
+    dynamic bucket count as the other joins here) with ONE shuffle;
+    each bucket splits sides in ARROW (typed-null columns keep their
+    dtypes — a pandas split would coerce int64-with-nulls to float64),
+    sorts once by ``on``, and a single C-level
     ``pd.merge_asof(..., by=by)`` handles every key in the bucket — no
-    per-key map_groups dispatch. ``by`` must be integer-typed (the
-    bucket hash uses modulo); ``right_cols`` are the right-side value
-    columns to carry (must not collide with left columns). Rows with no
-    match carry nulls for ``right_cols``."""
+    per-key map_groups dispatch. ``right_cols`` are the right-side
+    value columns to carry (must not collide with left columns); rows
+    with no match carry typed nulls for them."""
+    n_buckets = resolve_n_buckets(est_rows, n_buckets)
     left_schema = left_ds.schema()
     left_cols = list(left_schema.names)
     shared = set(left_cols) & set(right_cols)
     if shared:
         raise ValueError(f"column collision: {sorted(shared)}")
-    col_type = dict(zip(right_ds.schema().names, right_ds.schema().types))
+    left_type = dict(zip(left_schema.names, left_schema.types))
+    right_schema = right_ds.schema()
+    right_type = dict(zip(right_schema.names, right_schema.types))
+    r_side_cols = [on, by] + [c for c in right_cols if c not in (on, by)]
 
-    def tag(side: int, own):
+    def tag(side: int):
         def f(t: pa.Table) -> pa.Table:
             cols = {}
             for c in left_cols:
-                cols[c] = t[c] if side == 0 else pa.nulls(t.num_rows, type=dict(zip(left_schema.names, left_schema.types))[c])
+                cols[c] = t[c] if side == 0 else pa.nulls(t.num_rows, type=left_type[c])
             for c in right_cols:
-                cols[c] = t[c] if side == 1 else pa.nulls(t.num_rows, type=col_type[c])
+                cols[c] = t[c] if side == 1 else pa.nulls(t.num_rows, type=right_type[c])
             if side == 1:
                 cols[on] = t[on]
                 cols[by] = t[by]
-            uid = t[by].to_numpy()
-            cols["__bucket"] = pa.array((uid % n_buckets).astype(np.int64), pa.int64())
+            cols["__bucket"] = pa.array(_bucket_of(t[by], n_buckets), pa.int32())
             cols["__side"] = pa.array(np.full(t.num_rows, side, dtype=np.int8), pa.int8())
             return pa.table(cols)
 
         return f
 
-    tl = left_ds.map_batches(tag(0, left_cols), batch_format="pyarrow")
-    tr = right_ds.map_batches(tag(1, right_cols), batch_format="pyarrow")
+    tl = left_ds.map_batches(tag(0), batch_format="pyarrow")
+    tr = right_ds.map_batches(tag(1), batch_format="pyarrow")
 
-    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        lf = df[df["__side"] == 0][left_cols].sort_values([on, by], kind="mergesort")
-        rf = df[df["__side"] == 1][[on, by] + right_cols].sort_values(
-            [on, by], kind="mergesort"
+    def asof_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        _warn_if_hot(t.num_rows, "bucketed_asof_join")
+        lmask = pc.equal(t["__side"], 0)
+        lf = t.filter(lmask).select(left_cols).to_pandas()
+        rt = t.filter(pc.invert(lmask)).select(r_side_cols)
+        out_schema = pa.schema(
+            [(c, left_type[c]) for c in left_cols]
+            + [(c, right_type[c]) for c in right_cols]
         )
-        if rf.empty:
-            out = lf.copy()
-            for c in right_cols:
-                out[c] = pd.NA
-            return out
-        return pd.merge_asof(
-            lf,
-            rf,
+        if rt.num_rows == 0:
+            nulls = {c: pa.nulls(len(lf), type=right_type[c]) for c in right_cols}
+            return pa.table(
+                {**{c: pa.Array.from_pandas(lf[c], type=left_type[c]) for c in left_cols},
+                 **nulls},
+                schema=out_schema,
+            )
+        # match on (on, by) via pandas, but carry right VALUES through an
+        # Arrow take on the matched row indices — int64 right_cols never
+        # transit pandas float64 (which silently corrupts > 2^53)
+        rkeys = rt.select([on, by]).to_pandas()
+        order = rkeys.sort_values([on, by], kind="mergesort").index.to_numpy()
+        rt_s = rt.take(pa.array(order, pa.int64()))
+        rk = rkeys.iloc[order].reset_index(drop=True)
+        rk["__ri"] = np.arange(len(rk), dtype=np.int64)
+        m = pd.merge_asof(
+            lf.sort_values([on, by], kind="mergesort"),
+            rk,
             on=on,
             by=by,
             allow_exact_matches=allow_exact_matches,
             direction=direction,
         )
+        idx = pa.array(m["__ri"].to_numpy(), type=pa.int64(), from_pandas=True)
+        arrays = [pa.Array.from_pandas(m[c], type=left_type[c]) for c in left_cols] + [
+            rt_s[c].take(idx).combine_chunks() for c in right_cols
+        ]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
 
-    return tl.union(tr).groupby("__bucket").map_groups(asof_bucket, batch_format="pandas")
+    return tl.union(tr).groupby("__bucket").map_groups(asof_bucket, batch_format="pyarrow")
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, *, left_on: str, right_on: str, how: str = "inner"):
