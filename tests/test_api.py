@@ -183,3 +183,17 @@ def test_yaml_events_use_reference_vocabulary():
     while p.next_event() is not None:
         pass
     assert p.next_event() is None
+
+
+def test_top_level_events_dispatch():
+    import zparse_ray as z
+
+    assert [k for k, _ in z.events('{"a": 1}', "json")] == [
+        "ObjectStart", "Key", "Value", "ObjectEnd", "Eof",
+    ]
+    assert [k for k, _ in z.events("a = 1\n", "toml")] == ["KeyValue", "Eof"]
+    assert [k for k, _ in z.events("a: 1\n", "yaml")][0] == "MappingStart"
+    import pytest
+
+    with pytest.raises(ValueError):
+        z.events("x", "csv")

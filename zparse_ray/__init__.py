@@ -94,3 +94,20 @@ def validate(spans_dir: str, out_dir: str, **kwargs) -> dict:
     from .pipelines.validate import run_validation
 
     return run_validation(spans_dir, out_dir, **kwargs)
+
+
+def events(text: str, format: str):  # noqa: A002 - mirrors lib.rs naming
+    """Event-stream API: returns the pull parser for the format's
+    NATIVE reference vocabulary (json/jsonc -> JsonEventParser,
+    toml -> TomlEventParser, yaml -> YamlEventParser); other formats
+    raise. For one uniform JSON-style stream across all formats use
+    ``functions.events.parse_events``."""
+    from .functions.events import JsonEventParser, TomlEventParser, YamlEventParser
+
+    if format in ("json", "jsonc"):
+        return JsonEventParser(text, jsonc=format == "jsonc")
+    if format == "toml":
+        return TomlEventParser(text)
+    if format == "yaml":
+        return YamlEventParser(text)
+    raise ValueError(f"no event parser for format {format!r}")
