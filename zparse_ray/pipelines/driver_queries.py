@@ -12,10 +12,12 @@ Scale notes are inline per query: broadcast joins for small sides,
 partial aggregation before shuffles, partial-set unions for
 low-cardinality distincts, sketches for the approximate variants.
 
-41 of 53 queries carry oracle SQL. The 12 rows-only ones are rows-only
+41 of 54 queries carry oracle SQL. The 13 rows-only ones are rows-only
 for a REASON, not lack of effort:
 - minhash_lsh_neardup / embedding_neardup_lsh / ann_ivf_topk /
-  simhash_neardup: approximate-by-design (LSH/IVF recall < 1); each
+  simhash_neardup / tdigest_quantiles_by_type: approximate-by-design
+  (LSH/IVF recall < 1, sketch error self-reported vs the exact green
+  counterpart); each
   reports recall against its exact counterpart, and the exact
   counterparts (ngram_jaccard_neardup, embedding_neardup_exact,
   ann_topk, exact_dedup) ARE oracle-checked
@@ -2123,6 +2125,66 @@ FROM qv
 """
 
 
+def tdigest_quantiles_by_type(sf_dir: str):
+    """Approximate GROUPED quantiles — the last cell of the quantile
+    matrix (global-exact: tdigest_quantiles' oracle; global-approx:
+    tdigest_quantiles; grouped-exact: quantiles_by_type; this:
+    grouped-approx). Scale shape: each batch emits one serialized
+    t-digest PER GROUP (O(blocks x groups) tiny rows); the driver
+    tree-merges per group — the value stream never shuffles, unlike a
+    groupby(group) over raw rows. Self-reports the worst absolute
+    scaled error against the EXACT hash-green counterpart
+    (quantiles_by_type), so accuracy is measured, not assumed.
+    Rows-only (approximate by design)."""
+    from ..functions.sketches import TDigest
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": t["event_type"].to_numpy(zero_copy_only=False),
+                "v": t["value"].to_numpy(),
+            }
+        )
+        groups, blobs = [], []
+        for g, part in df.groupby("g", sort=False):
+            d = TDigest()
+            d.add(part["v"].to_numpy())
+            groups.append(g)
+            blobs.append(d.to_bytes())
+        return pa.table(
+            {"g": pa.array(groups, pa.string()), "td": pa.array(blobs, pa.binary())}
+        )
+
+    merged: dict[str, Any] = {}
+    rows = sorted(
+        ds.map_batches(partial, batch_format="pyarrow").take_all(),
+        key=lambda r: (r["g"], r["td"]),  # t-digest merge is order-sensitive
+    )
+    for r in rows:
+        d = TDigest.from_bytes(r["td"])
+        merged[r["g"]] = merged[r["g"]].merge(d) if r["g"] in merged else d
+
+    exact = {
+        (r["event_type"], r["q_scaled"]): r["value_scaled"]
+        for r in quantiles_by_type(sf_dir).to_pylist()
+    }
+    out = []
+    for g in sorted(merged):
+        for q in (0.5, 0.9):
+            approx = int(np.floor(merged[g].quantile(q) * 100 + 0.5))
+            out.append(
+                {
+                    "event_type": g,
+                    "q_scaled": int(q * 100),
+                    "value_scaled_approx": approx,
+                    "abs_err_scaled": abs(approx - exact[(g, int(q * 100))]),
+                }
+            )
+    return pa.Table.from_pylist(out)
+
+
 def drift_binned_ks(sf_dir: str, n_bins: int = 1000):
     """D8's ORACLE-CHECKABLE facet: exact two-sample binned-KS between
     the even- and odd-event_id halves of events.value. Distribution
@@ -2505,6 +2567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_value_by_type": median_value_by_type,
         "drift_check": drift_check,
         "drift_binned_ks": drift_binned_ks,
+        "tdigest_quantiles_by_type": tdigest_quantiles_by_type,
         "supplier_balance_by_nation": supplier_balance_by_nation,
         "bloom_uniqueness": bloom_uniqueness,
         "ann_ivf_topk": ann_ivf_topk,
