@@ -32,6 +32,7 @@ from collections.abc import Iterator
 from .convert import parse_value
 from .errors import EXPECTED, INVALID_TOKEN, MAX_SIZE_EXCEEDED, TRAILING_COMMA, ParseError
 from .json_parser import JSONC_CONFIG, JsonConfig, _err as _jerr, _JsonParser
+from .toml_parser import DLB, DRB, EQ, LB, RB, EOF as T_EOF, TomlConfig, _TomlParser
 
 # event kinds (json/event.rs:7-20 vocabulary)
 OBJECT_START = "ObjectStart"
@@ -211,16 +212,15 @@ def iter_json_events(text: str, config: JsonConfig | None = None) -> Iterator[tu
                     raise _jerr(EXPECTED, f"expected ',' or ']', found {c!r}", text, p.pos)
 
 
-class JsonEventParser:
-    """Reference `next_event` API shape (json/parser.rs:119-151): call
-    ``next_event()`` repeatedly; events return one at a time, input is
-    consumed incrementally, ``("Eof", None)`` marks the end, and
-    ``None`` follows it (the reference returns Ok(None) at EOF)."""
+class _PullEvents:
+    """Shared `next_event` API shape (reference json/parser.rs:119-151):
+    events return one at a time, ``("Eof", None)`` marks the end, and
+    ``None`` follows it (the reference returns Ok(None) at EOF).
+    Subclasses either set ``self._it`` (an event iterator) or override
+    ``next_event`` entirely."""
 
-    def __init__(self, text: str, config: JsonConfig | None = None, *, jsonc: bool = False):
-        cfg = config or (JSONC_CONFIG if jsonc else JsonConfig())
-        self._it = iter_json_events(text, cfg)
-        self._done = False
+    _it: Iterator[tuple[str, object]]
+    _done = False
 
     def next_event(self) -> tuple[str, object] | None:
         if self._done:
@@ -235,12 +235,20 @@ class JsonEventParser:
             yield ev
 
 
+class JsonEventParser(_PullEvents):
+    """TRUE pull-based JSON/JSONC `next_event` over iter_json_events —
+    input is consumed incrementally as events are pulled."""
+
+    def __init__(self, text: str, config: JsonConfig | None = None, *, jsonc: bool = False):
+        self._it = iter_json_events(text, config or (JSONC_CONFIG if jsonc else JsonConfig()))
+
+
 # TOML event kinds (toml/event.rs:7-12 vocabulary)
 TABLE_START = "TableStart"
 KEY_VALUE = "KeyValue"
 
 
-class TomlEventParser:
+class TomlEventParser(_PullEvents):
     """TRUE pull-based TOML event stream with the reference's own TOML
     vocabulary (toml/event.rs:7-12): ``TableStart {path, is_array}``
     and ``KeyValue {key, value}``, one statement consumed per
@@ -257,9 +265,6 @@ class TomlEventParser:
     at the event that triggers them, as in the reference."""
 
     def __init__(self, text: str, config=None):
-        from .errors import MAX_SIZE_EXCEEDED
-        from .toml_parser import TomlConfig, _TomlParser
-
         cfg = config or TomlConfig()
         if cfg.max_size > 0 and len(text.encode("utf-8", "surrogatepass")) > cfg.max_size:
             raise ParseError(
@@ -275,8 +280,6 @@ class TomlEventParser:
     def next_event(self) -> tuple[str, object] | None:
         if self._done:
             return None
-        from .toml_parser import DLB, EOF as T_EOF, EQ, LB, RB, DRB
-
         p = self._p
         t = p.next_non_nl()
         kind = t[0]
@@ -304,10 +307,6 @@ class TomlEventParser:
         p.insert_dotted(target, key, value, t[2])
         return (KEY_VALUE, {"key": key, "value": value})
 
-    def __iter__(self) -> Iterator[tuple[str, object]]:
-        while (ev := self.next_event()) is not None:
-            yield ev
-
 
 # YAML event kinds (yaml/event.rs:7-14 vocabulary)
 MAPPING_START = "MappingStart"
@@ -323,7 +322,7 @@ _YAML_KIND = {
 }
 
 
-class YamlEventParser:
+class YamlEventParser(_PullEvents):
     """YAML event stream with the reference's YAML vocabulary
     (MappingStart/MappingEnd/SequenceStart/SequenceEnd/Key/Value,
     yaml/event.rs:7-14). EXACT behavioral parity with the reference,
@@ -343,19 +342,6 @@ class YamlEventParser:
             yield (EOF, None)
 
         self._it = gen()
-        self._done = False
-
-    def next_event(self) -> tuple[str, object] | None:
-        if self._done:
-            return None
-        ev = next(self._it, None)
-        if ev is None or ev[0] == EOF:
-            self._done = True
-        return ev
-
-    def __iter__(self) -> Iterator[tuple[str, object]]:
-        while (ev := self.next_event()) is not None:
-            yield ev
 
 
 def parse_events(text: str, fmt: str) -> Iterator[tuple[str, object]]:

@@ -670,6 +670,19 @@ FROM events GROUP BY 1
 """
 
 
+
+_USER_BUCKETS = 64  # co-location granularity for per-user window ops
+
+
+def _bucket_by_user(t: pa.Table, col: str = "user_id") -> pa.Table:
+    """Append __bucket = user % _USER_BUCKETS — users co-locate in a
+    BOUNDED number of groups (never one map_groups call per user)."""
+    uid = t[col].to_numpy()
+    return t.append_column(
+        "__bucket", pa.array((uid % _USER_BUCKETS).astype(np.int64), pa.int64())
+    )
+
+
 def events_daily_counts(sf_dir: str):
     """Tumbling daily window as a keyed aggregate over a derived key."""
     from ray.data.aggregate import Count, Sum
@@ -704,12 +717,6 @@ def events_sessionize(sf_dir: str):
     one global row."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
 
-    def bucket(t: pa.Table) -> pa.Table:
-        uid = t["user_id"].to_numpy()
-        return t.append_column(
-            "__bucket", pa.array((uid % 64).astype(np.int64), pa.int64())
-        )
-
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"])
         uid = df["user_id"].to_numpy()
@@ -723,7 +730,7 @@ def events_sessionize(sf_dir: str):
         )
 
     per_bucket = (
-        ds.map_batches(bucket, batch_format="pyarrow")
+        ds.map_batches(_bucket_by_user, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(sessions, batch_format="pandas")
     )
@@ -1819,12 +1826,6 @@ def events_asof_join(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type", "value"])
 
-    def bucket(t: pa.Table) -> pa.Table:
-        uid = t["user_id"].to_numpy()
-        return t.append_column(
-            "__bucket", pa.array((uid % 64).astype(np.int64), pa.int64())
-        )
-
     def asof(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["ts", "event_id"])
         clicks = df[df["event_type"] == "click"][["ts", "user_id", "value"]].rename(
@@ -1852,7 +1853,7 @@ def events_asof_join(sf_dir: str):
         )
 
     out = (
-        ds.map_batches(bucket, batch_format="pyarrow")
+        ds.map_batches(_bucket_by_user, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(asof, batch_format="pandas")
         .groupby("event_type")
@@ -1879,12 +1880,6 @@ def events_running_sum(sf_dir: str):
     no per-user map_groups dispatch."""
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
 
-    def bucket(t: pa.Table) -> pa.Table:
-        uid = t["user_id"].to_numpy()
-        return t.append_column(
-            "__bucket", pa.array((uid % 64).astype(np.int64), pa.int64())
-        )
-
     def running(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"])
         run = df.groupby("user_id", sort=False)["value"].cumsum()
@@ -1897,7 +1892,7 @@ def events_running_sum(sf_dir: str):
         )
 
     out = (
-        ds.map_batches(bucket, batch_format="pyarrow")
+        ds.map_batches(_bucket_by_user, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(running, batch_format="pandas")
     )
@@ -2032,12 +2027,6 @@ def events_user_gaps(sf_dir: str):
     and masks user boundaries in a vectorized diff. Oracle-checked
     against DuckDB's LAG window + epoch_us."""
 
-    def bucket(t: pa.Table) -> pa.Table:
-        uid = t["user_id"].to_numpy()
-        return t.append_column(
-            "__bucket", pa.array((uid % 64).astype(np.int64), pa.int64())
-        )
-
     def gaps(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"])
         ts = df["ts"].to_numpy()
@@ -2052,7 +2041,7 @@ def events_user_gaps(sf_dir: str):
 
     parts = (
         _read(sf_dir, "events", ["user_id", "event_id", "ts"])
-        .map_batches(bucket, batch_format="pyarrow")
+        .map_batches(_bucket_by_user, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(gaps, batch_format="pandas")
         .take_all()
