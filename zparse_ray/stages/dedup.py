@@ -164,7 +164,18 @@ def lsh_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
 
 
 class SimHasher:
-    """64-bit SimHash over token hashes (vectorized per row)."""
+    """64-bit SimHash over token hashes.
+
+    ``__call__`` is fully vectorized across the batch (VERDICT r3 item
+    3, the MinHasher shape): tokens explode once, hash flat, and each
+    bit position's ±1 vote total per doc is ONE ``np.add.reduceat``
+    over the doc's token segment (votes are 2*ones - n_tokens, so only
+    the ones-count reduces). No per-row Python dispatch.
+
+    ``simhash()`` is the per-row reference implementation the batch
+    path is equivalence-tested against (bit-identical by construction:
+    hash64 is elementwise and integer vote sums are order-free).
+    """
 
     def __init__(self):
         self.token = _TOKEN
@@ -180,9 +191,30 @@ class SimHasher:
         v = (2 * bits - 1).sum(axis=0)
         return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
+    def _simhashes(self, texts) -> np.ndarray:
+        """(n_docs,) uint64 simhashes for a pandas Series of texts."""
+        n_docs = len(texts)
+        out = np.zeros(n_docs, dtype=np.uint64)
+        toks = texts.str.lower().str.findall(self.token)
+        counts = toks.str.len().to_numpy().astype(np.int64)
+        if int(counts.sum()) == 0:
+            return out
+        flat = toks.explode().dropna().to_numpy(dtype=object)
+        th = hash64(flat)
+        has_tok = counts > 0
+        seg_starts = (np.cumsum(counts) - counts)[has_tok]
+        n_tok = counts[has_tok]
+        sim = np.zeros(len(n_tok), dtype=np.uint64)
+        for p in range(64):
+            ones = np.add.reduceat((th >> np.uint64(p)) & np.uint64(1), seg_starts)
+            # bit set iff vote total 2*ones - n > 0
+            sim |= (2 * ones.astype(np.int64) > n_tok).astype(np.uint64) << np.uint64(p)
+        out[has_tok] = sim
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         s = batch["text"].to_pandas().fillna("")
-        vals = np.array([self.simhash(t) for t in s], dtype=np.uint64).astype(np.int64)
+        vals = self._simhashes(s).astype(np.int64)
         return batch.append_column("simhash", pa.array(vals, pa.int64()))
 
 
