@@ -205,10 +205,14 @@ LIMIT 10
 
 
 def region_nation_counts(sf_dir: str):
-    """3-way broadcast join of two dimension tables into customer."""
-    import ray
+    """3-way broadcast join of two dimension tables into customer —
+    the two tiny dimensions pre-join on the driver, then ONE
+    Arrow-native broadcast lookup (joins.broadcast_lookup_join: index_in
+    + take per batch, no per-batch pandas round trip)."""
     import pyarrow.parquet as pq
     from ray.data.aggregate import Count
+
+    from ..stages.joins import broadcast_lookup_join
 
     nation = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
@@ -216,20 +220,21 @@ def region_nation_counts(sf_dir: str):
     region = pq.read_table(
         os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
     ).to_pandas()
-    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
-        ["n_nationkey", "r_name"]
-    ]
-    dim_ref = ray.put(dim)
-
-    def tag(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().merge(
-            ray.get(dim_ref), left_on="c_nationkey", right_on="n_nationkey"
-        )
-        return pa.Table.from_pandas(df[["r_name"]], preserve_index=False)
+    dim = pa.Table.from_pandas(
+        nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+            ["n_nationkey", "r_name"]
+        ],
+        preserve_index=False,
+    )
 
     out = (
-        _read(sf_dir, "customer", ["c_nationkey"])
-        .map_batches(tag, batch_format="pyarrow")
+        broadcast_lookup_join(
+            _read(sf_dir, "customer", ["c_nationkey"]),
+            dim,
+            left_on="c_nationkey",
+            right_on="n_nationkey",
+        )
+        .select_columns(["r_name"])
         .groupby("r_name")
         .aggregate(Count(alias_name="n_customers"))
     )
@@ -244,27 +249,38 @@ GROUP BY r_name
 
 
 def part_revenue_by_brand(sf_dir: str):
-    """Fact⋈dimension broadcast join + aggregate (part is small)."""
-    import ray
+    """Fact⋈dimension broadcast join + aggregate (part is small) — the
+    shared Arrow-native lookup helper (joins.broadcast_lookup_join), a
+    vectorized revenue column, no per-batch pandas round trip."""
     import pyarrow.parquet as pq
     from ray.data.aggregate import Count, Sum
 
+    from ..stages.joins import broadcast_lookup_join
+
     part = pq.read_table(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
-    ).to_pandas()
-    part_ref = ray.put(part)
+    )
 
-    def tag(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        rev = df["l_extendedprice"] * (1 - df["l_discount"])
-        df = df.assign(revenue=rev).merge(
-            ray.get(part_ref), left_on="l_partkey", right_on="p_partkey"
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "revenue": pc.multiply(
+                    t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+                ),
+            }
         )
-        return pa.Table.from_pandas(df[["p_brand", "revenue"]], preserve_index=False)
 
     out = (
-        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
-        .map_batches(tag, batch_format="pyarrow")
+        broadcast_lookup_join(
+            _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"]).map_batches(
+                rev, batch_format="pyarrow"
+            ),
+            part,
+            left_on="l_partkey",
+            right_on="p_partkey",
+        )
+        .select_columns(["p_brand", "revenue"])
         .groupby("p_brand")
         .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n_items"))
     )
@@ -2356,23 +2372,25 @@ def drift_check(sf_dir: str):
 
 
 def supplier_balance_by_nation(sf_dir: str):
-    """Broadcast dimension join over the supplier table + keyed agg."""
-    import ray
+    """Broadcast dimension join over the supplier table + keyed agg —
+    Arrow-native lookup via the shared joins.broadcast_lookup_join."""
     import pyarrow.parquet as pq
     from ray.data.aggregate import Count, Sum
 
+    from ..stages.joins import broadcast_lookup_join
+
     nation = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
-    ).to_pandas()
-    nref = ray.put(nation)
-
-    def tag(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().merge(ray.get(nref), left_on="s_nationkey", right_on="n_nationkey")
-        return pa.Table.from_pandas(df[["n_name", "s_acctbal"]], preserve_index=False)
+    )
 
     out = (
-        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
-        .map_batches(tag, batch_format="pyarrow")
+        broadcast_lookup_join(
+            _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]),
+            nation,
+            left_on="s_nationkey",
+            right_on="n_nationkey",
+        )
+        .select_columns(["n_name", "s_acctbal"])
         .groupby("n_name")
         .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal"))
     )

