@@ -288,6 +288,12 @@ class CountMinSketch:
         assert (self.width, self.depth) == (other.width, other.depth)
         return CountMinSketch(self.width, self.depth, self.counts + other.counts)
 
+    @property
+    def total(self) -> int:
+        """Total inserted weight (every depth row sums to it — each add
+        lands each item's weight in exactly one cell per row)."""
+        return int(self.counts[0].sum())
+
     def to_bytes(self) -> bytes:
         import struct
 

@@ -12,20 +12,31 @@ Scale notes are inline per query: broadcast joins for small sides,
 partial aggregation before shuffles, partial-set unions for
 low-cardinality distincts, sketches for the approximate variants.
 
-41 of 54 queries carry oracle SQL. The 13 rows-only ones are rows-only
-for a REASON, not lack of effort:
-- minhash_lsh_neardup / embedding_neardup_lsh / ann_ivf_topk /
-  simhash_neardup / tdigest_quantiles_by_type: approximate-by-design
-  (LSH/IVF recall < 1, sketch error self-reported vs the exact green
-  counterpart); each
-  reports recall against its exact counterpart, and the exact
-  counterparts (ngram_jaccard_neardup, embedding_neardup_exact,
-  ann_topk, exact_dedup) ARE oracle-checked
-- doc_fingerprints / lang_id_agreement / quality_scores / drift_check /
-  top_tokens_cms: engine-defined functions (rolling hash, n-gram
-  profiles, score weights, KS/PSI thresholds, CMS estimates) with no
-  ANSI-SQL equivalent; their SQL-expressible facets are covered by
-  token_counts / quality_stats / drift_binned_ks / top_tokens
+45 of 54 queries carry oracle SQL. Four approximate operators are
+oracle-checked via the TRUE-boolean pattern (the hll_within_2pct
+precedent): the output carries SQL-reproducible exact facets plus
+hash-gated accuracy booleans computed against the exact green
+counterpart, so accuracy is part of the hash compare, not
+self-reported — embedding_neardup_lsh (planted recall == 100 +
+subset-of-exact), top_tokens_cms (top-k equality + eps*N bound),
+ann_ivf_topk (recall floor + top-1 + probed-file subset),
+tdigest_quantiles_by_type (exact grouped quantiles + 2% error gate).
+
+The 9 rows-only ones are rows-only for a REASON, not lack of effort
+(registry order puts every oracle-backed query FIRST so a driver cap
+can only ever drop rows-only entries — VERDICT r3 item 1):
+- minhash_lsh_neardup / simhash_neardup: approximate-by-design pair
+  sets (LSH recall < 1); their exact counterpart ngram_jaccard_neardup
+  IS oracle-checked, and truncation is surfaced via marker rows
+- doc_fingerprints / lang_id_agreement / quality_scores / drift_check:
+  engine-defined functions (rolling hash, n-gram profiles, score
+  weights, KS/PSI thresholds) with no ANSI-SQL equivalent; their
+  SQL-expressible facets are covered by token_counts / quality_stats /
+  drift_binned_ks (all green). (Sound TRUE-boolean facets were
+  evaluated and rejected as vacuous on this corpus: the raw-text dup
+  groups doc_fingerprints could gate on are empty, and the n-gram
+  lang-ID predicts only en/unknown here, so a majority-vote gate would
+  fail by design, not by bug.)
 - convert_matrix / validate_spans_summary / media_features: operate on
   engine-synthesized inputs (spans tables, fake-decoded assets) that
   are not registered driver views; their semantics are pytest-verified
@@ -934,10 +945,14 @@ def top_tokens_cms(sf_dir: str, k: int = 20):
     CMS plus its local top-64 candidate tokens (O(blocks) tiny rows to
     the driver; the token stream itself never shuffles, unlike the
     exact query's (token, count) exchange). The driver tree-merges the
-    sketches, estimates candidate counts, and self-reports agreement
-    with the exact oracle-checked top_tokens: overlap size and the
-    worst CMS overestimate (CMS never underestimates). Rows-only
-    (approximate by design; exact counterpart is hash-green)."""
+    sketches, estimates candidate counts, and checks agreement with
+    the exact oracle-checked top_tokens. ORACLE-CHECKED via the
+    TRUE-boolean pattern (VERDICT r3 item 6): the output carries the
+    exact corpus token count (SQL-reproducible) plus two hash-gated
+    accuracy booleans — the CMS top-k must equal the exact top-k, and
+    the worst CMS overestimate (CMS never underestimates) must stay
+    under 1% of the corpus token count (the sketch's epsilon*N
+    guarantee with wide margin)."""
     from ..functions.sketches import CountMinSketch
 
     ds = _read(sf_dir, "documents", ["text"])
@@ -970,8 +985,10 @@ def top_tokens_cms(sf_dir: str, k: int = 20):
         cands.update(r["cand"])
     if merged is None or not cands:
         return pa.Table.from_pylist(
-            [{"k": k, "n_in_exact": 0, "max_overestimate": 0}]
+            [{"k": k, "n_tokens": 0, "topk_overlap_full": False,
+              "overestimate_lt_1pct_tokens": False}]
         )
+    n_tokens = merged.total
     cand_arr = np.array(sorted(cands), dtype=object)
     est = merged.estimate(cand_arr)
     order = np.lexsort((cand_arr, -est))[:k]
@@ -986,11 +1003,21 @@ def top_tokens_cms(sf_dir: str, k: int = 20):
         [
             {
                 "k": k,
-                "n_in_exact": len(overlap),
-                "max_overestimate": int(max_over),
+                "n_tokens": int(n_tokens),
+                "topk_overlap_full": bool(len(overlap) == k),
+                "overestimate_lt_1pct_tokens": bool(max_over < 0.01 * max(n_tokens, 1)),
             }
         ]
     )
+
+
+_CMS_SQL = """
+SELECT CAST(20 AS BIGINT) AS k,
+       CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens,
+       TRUE AS topk_overlap_full,
+       TRUE AS overestimate_lt_1pct_tokens
+FROM documents
+"""
 
 
 def quality_stats(sf_dir: str):
@@ -1493,8 +1520,14 @@ def embedding_neardup_lsh(sf_dir: str):
     """Scale path: hyperplane-LSH buckets → per-bucket exact cosine,
     over the same planted-near-dup corpus as the exact variant (a
     scaled copy keeps every hyperplane sign, so LSH recall on the
-    planted pairs is 100%). Rows-only (natural-pair recall < 1 by
-    design)."""
+    planted pairs is deterministically 100%). ORACLE-CHECKED via the
+    TRUE-boolean pattern (VERDICT r3 item 6): the output carries the
+    SQL-reproducible planted-copy count, the planted-pair recall (must
+    hash-match 100), and a subset cross-check against the hash-green
+    exact variant (every LSH pair is bucket-verified by exact cosine,
+    so it must appear in embedding_neardup_exact's full-matmul pair
+    set). Natural-pair recall < 1 by design — that is exactly what the
+    recall facet measures."""
     from ..stages.similarity import HyperplaneLsh, cosine_neardup_pairs
 
     # dim from one bounded row — never the full table
@@ -1505,6 +1538,7 @@ def embedding_neardup_lsh(sf_dir: str):
             filters=[("vec_id", "=", 0)],
         )["embedding"][0]
     )
+    n_planted = _mut_embeddings_table(sf_dir).num_rows
     ds = _augmented_embeddings_ds(sf_dir)
     bucketed = ds.map_batches(
         HyperplaneLsh, fn_constructor_kwargs={"dim": dim, "n_bits": 8}, batch_format="pyarrow", concurrency=2
@@ -1512,11 +1546,33 @@ def embedding_neardup_lsh(sf_dir: str):
     pairs = bucketed.groupby("lsh_bucket").map_groups(
         lambda g: cosine_neardup_pairs(g, 0.9), batch_format="pandas"
     )
-    rows = sorted(pairs.take_all(), key=lambda r: (r["a"], r["b"]))
-    if not rows:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "cosine_sim": pa.array([], pa.float64())})
-    t = pa.Table.from_pylist(rows)
-    return _round_col(t, "cosine_sim", 4)
+    # bucket pair order follows group order, not value order — normalize
+    # to (lo, hi) so the subset/planted checks compare canonical pairs
+    found = {
+        (min(int(r["a"]), int(r["b"])), max(int(r["a"]), int(r["b"])))
+        for r in pairs.take_all()
+    }
+    planted_found = sum(1 for a, b in found if a < n_planted and b == a + 1_000_000)
+    exact_pairs = {
+        (r["a"], r["b"]) for r in embedding_neardup_exact(sf_dir).to_pylist()
+    }
+    return pa.Table.from_pylist(
+        [
+            {
+                "n_planted": int(n_planted),
+                "planted_recall_x100": int(round(100 * planted_found / max(n_planted, 1))),
+                "pairs_subset_of_exact": bool(found <= exact_pairs),
+            }
+        ]
+    )
+
+
+_NEARDUP_LSH_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+       CAST(100 AS BIGINT) AS planted_recall_x100,
+       TRUE AS pairs_subset_of_exact
+FROM embeddings WHERE vec_id < 20
+"""
 
 
 
@@ -2200,10 +2256,12 @@ def tdigest_quantiles_by_type(sf_dir: str):
     grouped-approx). Scale shape: each batch emits one serialized
     t-digest PER GROUP (O(blocks x groups) tiny rows); the driver
     tree-merges per group — the value stream never shuffles, unlike a
-    groupby(group) over raw rows. Self-reports the worst absolute
-    scaled error against the EXACT hash-green counterpart
-    (quantiles_by_type), so accuracy is measured, not assumed.
-    Rows-only (approximate by design)."""
+    groupby(group) over raw rows. ORACLE-CHECKED via the TRUE-boolean
+    pattern (VERDICT r3 item 6, the hll_within_2pct precedent): the
+    output carries the EXACT grouped quantiles (SQL-reproducible via
+    grouped quantile_disc) plus a within-2%-relative-error boolean the
+    t-digest estimate must satisfy — accuracy is hash-gated, not
+    self-reported."""
     from ..functions.sketches import TDigest
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
@@ -2242,15 +2300,29 @@ def tdigest_quantiles_by_type(sf_dir: str):
     for g in sorted(merged):
         for q in (0.5, 0.9):
             approx = int(np.floor(merged[g].quantile(q) * 100 + 0.5))
+            ex = exact[(g, int(q * 100))]
             out.append(
                 {
                     "event_type": g,
                     "q_scaled": int(q * 100),
-                    "value_scaled_approx": approx,
-                    "abs_err_scaled": abs(approx - exact[(g, int(q * 100))]),
+                    "value_scaled": ex,
+                    "tdigest_within_2pct": bool(abs(approx - ex) <= 0.02 * max(abs(ex), 1)),
                 }
             )
     return pa.Table.from_pylist(out)
+
+
+_TDIGEST_GROUPQ_SQL = """
+WITH qv AS (
+  SELECT event_type, unnest([50, 90]) AS q_scaled,
+         unnest(quantile_disc(value, [0.5, 0.9])) AS v
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(q_scaled AS BIGINT) AS q_scaled,
+       CAST(FLOOR(v * 100 + 0.5) AS BIGINT) AS value_scaled,
+       TRUE AS tdigest_within_2pct
+FROM qv
+"""
 
 
 def drift_binned_ks(sf_dir: str, n_bins: int = 1000):
@@ -2448,8 +2520,13 @@ SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_ids,
 def ann_ivf_topk(sf_dir: str):
     """IVF-flat ANN via the PERSISTED index layout: build once (lists as
     centroid-keyed parquet partitions), then the probe reads ONLY the
-    probed partitions — a strict subset of the index files. Reports its
-    own recall vs the exact brute-force top-10. Rows-only."""
+    probed partitions — a strict subset of the index files.
+    ORACLE-CHECKED via the TRUE-boolean pattern (VERDICT r3 item 6):
+    result size is SQL-reproducible; recall vs the exact brute-force
+    top-10 (seeded k-means — deterministic) is hash-gated at >= 80,
+    with the exact top-1 required and the probed-file-subset invariant
+    required. Approximate by design — recall < 100 is expected; the
+    gate pins the floor."""
     import glob as _glob
 
     import pyarrow.parquet as pq
@@ -2488,12 +2565,24 @@ def ann_ivf_topk(sf_dir: str):
         [
             {
                 "n_results": len(approx),
-                "recall_x100": int(round(recall * 100)),
-                "top1_correct": int(approx[0][0] == next(iter(sorted(exact, key=lambda r: -r["cosine_sim"])))["vec_id"]),
-                "probe_is_strict_subset": int(0 < len(probe) < n_lists_total),
+                "recall_ge_80": bool(round(recall * 100) >= 80),
+                "top1_correct": bool(
+                    approx[0][0]
+                    == next(iter(sorted(exact, key=lambda r: -r["cosine_sim"])))["vec_id"]
+                ),
+                "probe_is_strict_subset": bool(0 < len(probe) < n_lists_total),
             }
         ]
     )
+
+
+_IVF_SQL = """
+SELECT CAST(LEAST(10, COUNT(*)) AS BIGINT) AS n_results,
+       TRUE AS recall_ge_80,
+       TRUE AS top1_correct,
+       TRUE AS probe_is_strict_subset
+FROM embeddings
+"""
 
 
 def value_stats_by_type(sf_dir: str):
@@ -2588,7 +2677,13 @@ FROM e4 GROUP BY window_start
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Registry order is a CONTRACT (VERDICT r3 item 1): every
+    oracle-backed query comes first, rows-only entries last (most
+    informative first), so a driver that caps the number of checked
+    queries can only ever drop rows-only entries — never an
+    oracle-backed one."""
     return {
+        # --- oracle-backed (45) ---
         "q1_pricing_summary": q1_pricing_summary,
         "orders_status_priority": orders_status_priority,
         "top_customers": top_customers,
@@ -2617,32 +2712,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_cms": top_tokens_cms,
         "quality_stats": quality_stats,
         "exact_dedup": exact_dedup,
+        "ann_topk": ann_topk,
+        "embedding_neardup_exact": embedding_neardup_exact,
+        "embedding_neardup_lsh": embedding_neardup_lsh,
+        "ann_ivf_topk": ann_ivf_topk,
+        "csv_export_roundtrip": csv_export_roundtrip,
+        "toml_roundtrip_agg": toml_roundtrip_agg,
+        "yaml_roundtrip_agg": yaml_roundtrip_agg,
+        "xml_roundtrip_agg": xml_roundtrip_agg,
+        "events_asof_join": events_asof_join,
+        "events_running_sum": events_running_sum,
+        "median_value_by_type": median_value_by_type,
+        "drift_binned_ks": drift_binned_ks,
+        "tdigest_quantiles_by_type": tdigest_quantiles_by_type,
+        "supplier_balance_by_nation": supplier_balance_by_nation,
+        "bloom_uniqueness": bloom_uniqueness,
+        "value_stats_by_type": value_stats_by_type,
+        "events_sliding_window": events_sliding_window,
+        # --- rows-only (9), justified in the module docstring ---
         "minhash_lsh_neardup": minhash_lsh_neardup,
         "simhash_neardup": simhash_neardup,
         "doc_fingerprints": doc_fingerprints,
         "lang_id_agreement": lang_id_agreement,
         "quality_scores": quality_scores,
-        "ann_topk": ann_topk,
-        "embedding_neardup_exact": embedding_neardup_exact,
-        "embedding_neardup_lsh": embedding_neardup_lsh,
-        "convert_matrix": convert_matrix,
-        "csv_export_roundtrip": csv_export_roundtrip,
-        "toml_roundtrip_agg": toml_roundtrip_agg,
-        "yaml_roundtrip_agg": yaml_roundtrip_agg,
-        "xml_roundtrip_agg": xml_roundtrip_agg,
+        "drift_check": drift_check,
         "media_features": media_features,
         "validate_spans_summary": validate_spans_summary,
-        "events_asof_join": events_asof_join,
-        "events_running_sum": events_running_sum,
-        "median_value_by_type": median_value_by_type,
-        "drift_check": drift_check,
-        "drift_binned_ks": drift_binned_ks,
-        "tdigest_quantiles_by_type": tdigest_quantiles_by_type,
-        "supplier_balance_by_nation": supplier_balance_by_nation,
-        "bloom_uniqueness": bloom_uniqueness,
-        "ann_ivf_topk": ann_ivf_topk,
-        "value_stats_by_type": value_stats_by_type,
-        "events_sliding_window": events_sliding_window,
+        "convert_matrix": convert_matrix,
     }
 
 
@@ -2689,4 +2785,8 @@ def oracle_sql() -> dict[str, str]:
         "xml_roundtrip_agg": _GRAMMAR_RT_SQL,
         "bloom_uniqueness": _BLOOM_SQL,
         "drift_binned_ks": _BINNED_KS_SQL,
+        "embedding_neardup_lsh": _NEARDUP_LSH_SQL,
+        "top_tokens_cms": _CMS_SQL,
+        "ann_ivf_topk": _IVF_SQL,
+        "tdigest_quantiles_by_type": _TDIGEST_GROUPQ_SQL,
     }
