@@ -142,3 +142,67 @@ def test_png_decoder_tiny_image_features_finite():
 
     with pytest.raises(PngError):
         decode_png(encode_png(img)[:-2])
+
+
+# -- WAV codec (real audio path) -------------------------------------------
+
+
+def test_wav_round_trip_mono_and_stereo():
+    import numpy as np
+
+    from zparse_ray.functions.wav_codec import decode_wav, encode_wav
+
+    rng = np.random.default_rng(7)
+    mono = rng.integers(-32768, 32768, 777, dtype=np.int16)
+    rate, n_ch, out = decode_wav(encode_wav(mono, sample_rate=22050))
+    assert (rate, n_ch) == (22050, 1)
+    assert (out[:, 0] == mono).all()
+
+    stereo = rng.integers(-32768, 32768, (500, 2), dtype=np.int16)
+    rate, n_ch, out = decode_wav(encode_wav(stereo, sample_rate=8000))
+    assert (rate, n_ch) == (8000, 2)
+    assert (out == stereo).all()
+
+
+def test_wav_errors_classify():
+    import numpy as np
+    import pytest
+
+    from zparse_ray.functions.wav_codec import WavError, decode_wav, encode_wav
+
+    with pytest.raises(WavError):
+        decode_wav(b"not a riff header at all")
+    with pytest.raises(WavError):
+        encode_wav(np.zeros(10, dtype=np.float32))  # not int16
+    good = encode_wav(np.zeros(100, dtype=np.int16))
+    with pytest.raises(WavError):
+        decode_wav(good[:40])  # truncated inside the data chunk
+
+
+def test_media_feature_extractor_wav_path():
+    import numpy as np
+    import pyarrow as pa
+
+    from zparse_ray.functions.wav_codec import encode_wav
+    from zparse_ray.stages.multimodal import MediaFeatureExtractor
+
+    rng = np.random.default_rng(11)
+    lens, rates = [64, 3000], [16000, 44100]
+    payloads = [
+        encode_wav(rng.integers(-32768, 32768, n, dtype=np.int16), sample_rate=r)
+        for n, r in zip(lens, rates)
+    ]
+    batch = pa.table(
+        {
+            "asset_id": pa.array(["a0", "a1"], pa.string()),
+            "kind": pa.array(["audio", "audio"], pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    out = MediaFeatureExtractor(decoder="wav")(batch)
+    assert out["n_frames"].to_pylist() == lens
+    assert out["width"].to_pylist() == rates       # sample rate
+    assert out["height"].to_pylist() == [1, 1]     # channels
+    feats = np.array(out["feature"].to_pylist())
+    # unit-normalized non-zero envelope
+    assert np.allclose(np.linalg.norm(feats, axis=1), 1.0, atol=1e-5)

@@ -641,3 +641,87 @@ def test_grouped_exact_ranks_edge_distributions(ray_session):
         for q, e in zip(qs, expect):
             rank = max(0, math.ceil(q * n) - 1)
             assert values[(name, rank)] == e, (name, q, values[(name, rank)], e)
+
+
+# -- vectorized-path equivalence vs per-row references (ADVICE r3) ---------
+
+
+def _poly_window_hash(th, start, length):
+    """Independent per-window reference: direct polynomial sum in Python
+    ints mod 2^64 (the batch path uses prefix sums + inverse powers)."""
+    from zparse_ray.functions.sketches import hash64
+
+    P = 1099511628211  # FNV prime, textops._FNV_P
+    T = sum(int(th[start + i]) * pow(P, i, 1 << 64) for i in range(length)) % (1 << 64)
+    return int(hash64(np.array([T], dtype=np.uint64))[0])
+
+
+_EQ_CORPUS = [
+    "the quick brown fox jumps over the lazy dog again and again",
+    "",
+    "one",
+    "two words",
+    "exactly five tokens are right here",
+    "Ünïcode tökens with Ümlauts and ümlauts repeated ümlauts",
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 3,
+    "   leading and trailing whitespace   ",
+]
+
+
+def test_minhash_signatures_match_per_doc_reference():
+    import re
+
+    from zparse_ray.functions.sketches import hash64
+
+    mh = MinHasher(n_perm=32, n_bands=8, shingle_k=5)
+    import pandas as pd
+
+    sigs = mh._signatures(pd.Series(_EQ_CORPUS))
+    for d, text in enumerate(_EQ_CORPUS):
+        toks = re.findall(r"\w+", text.lower())
+        if not toks:
+            expect = np.full(mh.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        else:
+            th = hash64(np.array(toks, dtype=object))
+            k = mh.shingle_k
+            if len(toks) < k:
+                wins = [(0, len(toks))]
+            else:
+                wins = [(s, k) for s in range(len(toks) - k + 1)]
+            sh = np.array(
+                [_poly_window_hash(th, s, n) for s, n in wins], dtype=np.uint64
+            )
+            with np.errstate(over="ignore"):
+                expect = np.array(
+                    [(mh.a[p] * sh + mh.b[p]).min() for p in range(mh.n_perm)],
+                    dtype=np.uint64,
+                )
+        assert (sigs[:, d] == expect).all(), f"doc {d}: {text[:30]!r}"
+
+
+def test_simhash_batch_matches_per_row_reference():
+    sh = SimHasher()
+    out = sh(_doc_batch(_EQ_CORPUS))["simhash"].to_pylist()
+    expect = [
+        int(np.uint64(sh.simhash(t)).astype(np.int64)) for t in _EQ_CORPUS
+    ]
+    assert out == expect
+
+
+def test_fingerprint_batch_matches_per_row_reference():
+    from zparse_ray.functions.sketches import hash64
+
+    window = 16
+    out = fingerprint_batch(_doc_batch(_EQ_CORPUS), window=window)
+    got = out["fingerprint"].to_pylist()
+    for d, text in enumerate(_EQ_CORPUS):
+        buf = text.encode("utf-8")
+        if len(buf) >= window:
+            th = np.frombuffer(buf, dtype=np.uint8)
+            expect = min(
+                _poly_window_hash(th, s, window)
+                for s in range(len(buf) - window + 1)
+            )
+        else:
+            expect = int(hash64(np.array([text], dtype=object))[0])
+        assert got[d] == int(np.uint64(expect).astype(np.int64)), f"doc {d}"

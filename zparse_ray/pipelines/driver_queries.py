@@ -1774,10 +1774,12 @@ def media_features(sf_dir: str):
     per-batch partials reduced with Dataset.sum (the full-table
     ``to_pandas`` driver pulls VERDICT r2 flagged are gone). The
     metadata chain runs on the deterministic fake decoder (synth spans
-    carry no payload bytes); a REAL codec branch then encodes one
-    deterministic PNG per image asset and decodes it with the engine's
-    own pure-stdlib PNG codec (decoder='png'), cross-checking decoded
-    dimensions against the encoder inputs. Rows-only."""
+    carry no payload bytes); TWO real codec branches then exercise the
+    engine's own pure-stdlib codecs — one deterministic PNG per image
+    asset (decoder='png', decoded dims vs encoder inputs) and one
+    deterministic 16-bit PCM WAV per audio asset (decoder='wav',
+    decoded frame count + sample rate vs encoder inputs) — with the
+    parity checks reduced distributedly. Rows-only."""
     import glob as _glob
 
     import ray.data as rd
@@ -1892,6 +1894,66 @@ def media_features(sf_dir: str):
         ["n_png_decoded", "n_png_dim_ok"]
     )
 
+    # real-audio branch: encode a deterministic 16-bit PCM WAV per audio
+    # asset (frame count, sample rate and waveform seeded from the same
+    # stable asset-id hash), decode through decoder='wav' (the engine's
+    # pure-stdlib WAV codec), and check frame-count + sample-rate parity
+    # per batch — distributed, no join, no driver pull
+    from ..functions.wav_codec import encode_wav
+
+    def attach_wav(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t["kind"], "audio"))
+        ids = sel["asset_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for aid in ids:
+            seed = _asset_seed(aid)
+            rng = np.random.default_rng(seed)
+            n = 64 + seed % 2000
+            rate = 8000 + (seed >> 8) % 8 * 1000
+            payloads.append(encode_wav(
+                rng.integers(-32768, 32768, n, dtype=np.int16), sample_rate=rate
+            ))
+        return pa.table(
+            {
+                "asset_id": pa.array(ids, pa.string()),
+                "kind": sel["kind"],
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    wav_decoded = (
+        spans.map_batches(media_spans_of, batch_format="pyarrow")
+        .groupby(["asset_id", "kind"])
+        .count()
+        .drop_columns(["count()"])
+        .map_batches(attach_wav, batch_format="pyarrow")
+        .map_batches(
+            MediaFeatureExtractor,
+            fn_constructor_kwargs={"decoder": "wav"},
+            batch_size=64,
+            batch_format="pyarrow",
+            concurrency=2,
+            max_restarts=0,
+        )
+    )
+
+    def wav_check_batch(t: pa.Table) -> pa.Table:
+        ids = t["asset_id"].to_numpy(zero_copy_only=False)
+        seeds = np.array([_asset_seed(a) for a in ids], dtype=np.int64)
+        ok = (t["n_frames"].to_numpy() == 64 + seeds % 2000) & (
+            t["width"].to_numpy() == 8000 + (seeds >> 8) % 8 * 1000
+        )
+        return pa.table(
+            {
+                "n_wav_decoded": pa.array([t.num_rows], pa.int64()),
+                "n_wav_ok": pa.array([int(ok.sum())], pa.int64()),
+            }
+        )
+
+    wav_checks = wav_decoded.map_batches(wav_check_batch, batch_format="pyarrow").sum(
+        ["n_wav_decoded", "n_wav_ok"]
+    )
+
     return pa.Table.from_pylist(
         [
             {
@@ -1902,6 +1964,8 @@ def media_features(sf_dir: str):
                 "n_sampled_frames": int(frames.count()),
                 "n_png_decoded": int(png_check["sum(n_png_decoded)"]),
                 "n_png_dim_ok": int(png_check["sum(n_png_dim_ok)"]),
+                "n_wav_decoded": int(wav_checks["sum(n_wav_decoded)"]),
+                "n_wav_ok": int(wav_checks["sum(n_wav_ok)"]),
             }
         ]
     )

@@ -16,6 +16,11 @@ image/audio libraries ship in this container:
   engine's own pure-stdlib codec (functions/png_codec.py) — width /
   height come from the actual IHDR and the feature vector is an 8x8
   mean-pooled greyscale grid of the actual pixels
+- ``decoder="wav"`` is the REAL audio path (functions/wav_codec.py,
+  stdlib ``wave``): the ``payload`` column holds 16-bit PCM WAV bytes;
+  width carries the sample rate, height the channel count, n_frames
+  the frame count, and the feature vector is a mean-pooled
+  absolute-amplitude envelope
 
 Scale notes: media batches are LARGE per row — callers must size
 ``batch_size`` small (e.g. 64) and keep ``batch_format="pyarrow"`` so
@@ -66,7 +71,7 @@ class MediaFeatureExtractor:
     """
 
     def __init__(self, decoder: str | None = None, feat_dim: int = 64):
-        if decoder not in (None, "fake", "png"):
+        if decoder not in (None, "fake", "png", "wav"):
             raise ValueError(f"unknown decoder: {decoder!r}")
         self.decoder = decoder
         self.feat_dim = feat_dim
@@ -104,17 +109,43 @@ class MediaFeatureExtractor:
             feats[i, len(pooled) :] = 0.0
         return width, height, np.ones(n, np.int32), feats
 
+    def _wav_decode(self, batch: pa.Table, feat_dim: int):
+        """Real audio decode: per-row WAV parse (actor-pool stage — the
+        per-row loop IS the codec). Output mapping: width=sample rate,
+        height=channel count, n_frames=frame count; the feature is a
+        mean-pooled absolute-amplitude envelope over feat_dim segments
+        of the first channel, scaled to [0, 1]."""
+        from ..functions.wav_codec import decode_wav
+
+        payloads = batch["payload"]
+        n = batch.num_rows
+        width = np.empty(n, np.int32)
+        height = np.empty(n, np.int32)
+        n_frames = np.empty(n, np.int32)
+        feats = np.zeros((n, feat_dim), np.float32)
+        for i in range(n):
+            rate, n_ch, samples = decode_wav(payloads[i].as_py())
+            width[i], height[i], n_frames[i] = rate, n_ch, samples.shape[0]
+            if samples.shape[0]:
+                env = np.abs(samples[:, 0].astype(np.float32)) / 32768.0
+                seg = np.array_split(env, min(feat_dim, len(env)))
+                pooled = np.array([s.mean() for s in seg], dtype=np.float32)
+                feats[i, : len(pooled)] = pooled
+        return width, height, n_frames, feats
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decoder is None:
             raise NotImplementedError(
                 "media decode requires an image/audio codec, none available "
                 "in this environment — construct with decoder='fake' for the "
-                "deterministic stub, or decoder='png' with a payload column"
+                "deterministic stub, or decoder='png'/'wav' with a payload column"
             )
         ids = batch["asset_id"].to_numpy(zero_copy_only=False)
         kinds = batch["kind"].to_numpy(zero_copy_only=False)
         if self.decoder == "png":
             width, height, n_frames, feats = self._png_decode(batch, self.feat_dim)
+        elif self.decoder == "wav":
+            width, height, n_frames, feats = self._wav_decode(batch, self.feat_dim)
         else:
             width, height, n_frames, feats = _fake_decode(ids, kinds, self.feat_dim)
         norms = np.linalg.norm(feats, axis=1, keepdims=True)
