@@ -168,6 +168,46 @@ def test_toml_pull_events_fold_to_dom():
     assert (ei.value.check_id, ei.value.offset) == expect
 
 
+def test_toml_pull_events_lazy_lexing_parity():
+    """Reference parity (toml/parser.rs:88-122): the lexer is lazy, so
+    (a) events before a LEXICAL error are delivered first, and (b) a
+    parse error earlier in the document wins over a lexical error later
+    in it."""
+    import pytest
+
+    from zparse_ray.functions.errors import ParseError
+    from zparse_ray.functions.events import KEY_VALUE, TomlEventParser
+    from zparse_ray.functions.toml_parser import parse_toml
+
+    p = TomlEventParser("x = 1\ny = @@@\n")  # lexical error on stmt 2
+    assert p.next_event()[0] == KEY_VALUE
+    with pytest.raises(ParseError) as ei:
+        p.next_event()
+    assert ei.value.check_id == "InvalidToken"
+
+    with pytest.raises(ParseError) as ei:
+        parse_toml("a = 1\na = 2\nb = @@@\n")
+    assert ei.value.check_id == "DuplicateKey"  # not the later InvalidToken
+
+
+def test_toml_pull_events_error_latches():
+    """Re-polling after a ParseError re-raises the SAME error — the
+    stream never re-parses from the failed token against the partially
+    folded DOM (ADVICE r3)."""
+    import pytest
+
+    from zparse_ray.functions.errors import ParseError
+    from zparse_ray.functions.events import TomlEventParser
+
+    q = TomlEventParser("a = 1\na = 2\nb = 3\n")
+    assert q.next_event() is not None
+    with pytest.raises(ParseError) as first:
+        q.next_event()
+    with pytest.raises(ParseError) as again:
+        q.next_event()
+    assert again.value is first.value
+
+
 def test_yaml_events_use_reference_vocabulary():
     from zparse_ray.functions.events import EOF, YamlEventParser
 

@@ -258,11 +258,11 @@ class TomlEventParser(_PullEvents):
     event where the reference would raise; the fully-folded root is
     available as ``.root`` after Eof.
 
-    Divergence from the reference's laziness: our TOML LEXER is eager
-    (the master-regex scan is what makes the Python grammar walk fast),
-    so purely LEXICAL errors raise at construction; parse/DOM-fold
-    errors (bad headers, duplicate keys, type conflicts) surface lazily
-    at the event that triggers them, as in the reference."""
+    Lazy END-TO-END like the reference (toml/parser.rs:88-122): the
+    lexer is a pull generator, so lexical errors AND parse/DOM-fold
+    errors (bad headers, duplicate keys, type conflicts) all surface at
+    the event whose statement reaches them; construction only checks
+    the max_size resource limit."""
 
     def __init__(self, text: str, config=None):
         cfg = config or TomlConfig()
@@ -272,14 +272,30 @@ class TomlEventParser(_PullEvents):
             )
         self._p = _TomlParser(text, cfg)
         self._done = False
+        self._err: ParseError | None = None
 
     @property
     def root(self) -> dict:
         return self._p.root
 
     def next_event(self) -> tuple[str, object] | None:
+        # error latch (ADVICE r3): once a ParseError propagates, the
+        # stream is poisoned — re-polling must re-raise the SAME error,
+        # not re-parse from the failed token against the partially
+        # folded DOM (which could raise a different error or emit
+        # inconsistent events)
+        if self._err is not None:
+            raise self._err
         if self._done:
             return None
+        try:
+            return self._next_event_inner()
+        except ParseError as e:
+            self._err = e
+            self._done = True
+            raise
+
+    def _next_event_inner(self) -> tuple[str, object] | None:
         p = self._p
         t = p.next_non_nl()
         kind = t[0]

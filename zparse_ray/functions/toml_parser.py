@@ -35,6 +35,7 @@ and what the reference's multiline strings use).
 from __future__ import annotations
 
 import re
+from collections.abc import Iterator
 from dataclasses import dataclass
 
 from ..value import DT_DATE, DT_LOCAL, DT_OFFSET, DT_TIME, TomlDatetime
@@ -167,8 +168,12 @@ def _is_datetime_like(text: str) -> bool:
 
 
 class _TomlLexer:
-    """Eagerly tokenizes the whole document (faster in Python than a
-    pull lexer); each token is (kind, payload, offset)."""
+    """Lazy master-regex tokenizer: tokens are produced on demand as the
+    parser pulls them, so purely LEXICAL errors surface at the pull that
+    reaches the offending input — end-to-end lazy like the reference
+    (toml/parser.rs:88-122), where a parse error earlier in the document
+    wins over a lexical error later in it. Each token is
+    (kind, payload, offset)."""
 
     __slots__ = ("text", "n")
 
@@ -180,66 +185,69 @@ class _TomlLexer:
         line, col = _line_col(self.text, offset)
         return ParseError(check_id, msg, offset, line, col)
 
-    def tokens(self) -> list[tuple[str, object, int]]:
-        """Master-regex scanner: one compiled alternation classifies the
-        common tokens (simple strings, punctuation, bare words, number
-        runs) at C speed; escapes / multiline strings fall back to the
-        per-char lexers. Same token stream as the naive loop."""
+    def iter_tokens(self) -> "Iterator[tuple[str, object, int]]":
+        """Master-regex scanner, generator form: one compiled
+        alternation classifies the common tokens (simple strings,
+        punctuation, bare words, number runs) at C speed; escapes /
+        multiline strings fall back to the per-char lexers, after which
+        the scan RESUMES at the new offset (finditer(pos=...) — no text
+        slicing, no recursion). Same token stream as the eager list."""
         text, n = self.text, self.n
-        out: list[tuple[str, object, int]] = []
-        append = out.append
         i = 0
+        restart = True
         # integer lastindex dispatch (no lastgroup name lookup), branch
         # order = group frequency in flat key=value documents; group
         # indices follow _MASTER's definition order
-        for m in _MASTER.finditer(text):
-            start, end = m.span()
-            if start != i:
-                raise self.err(INVALID_TOKEN, "invalid token", i)
-            i = end
-            g = m.lastindex
-            if g == 1:  # ws
-                continue
-            if g == 6:  # word
-                w = m.group()
-                if w == "true":
-                    append((BOOL, True, start))
-                elif w == "false":
-                    append((BOOL, False, start))
-                else:
-                    append((BAREKEY, w, start))
-            elif g == 9:  # punct
-                append((_PUNCT_KIND[m.group()], None, start))
-            elif g == 8:  # num
-                append(self.classify_number(m.group(), start))
-            elif g == 4 or g == 5:  # sstr / slit
-                append((STRING, m.group()[1:-1], start))
-            elif g == 2:  # nl
-                append((NL, None, start))
-            elif g == 3:  # comment
-                pass
-            elif g == 7:  # signspec
-                w = m.group()
-                v = float("inf") if w[1:] == "inf" else float("nan")
-                append((NUMBER, -v if w[0] == "-" else v, start))
-            elif g == 10:  # dq: escaped/multiline basic string — re-scan
-                sv, i = self.lex_basic(start)
-                append((STRING, sv, start))
-                return out + self._resume(i)
-            else:  # g == 11, sq
-                sv, i = self.lex_literal(start)
-                append((STRING, sv, start))
-                return out + self._resume(i)
+        while restart:
+            restart = False
+            for m in _MASTER.finditer(text, i):
+                start, end = m.span()
+                if start != i:
+                    raise self.err(INVALID_TOKEN, "invalid token", i)
+                i = end
+                g = m.lastindex
+                if g == 1:  # ws
+                    continue
+                if g == 6:  # word
+                    w = m.group()
+                    if w == "true":
+                        yield (BOOL, True, start)
+                    elif w == "false":
+                        yield (BOOL, False, start)
+                    else:
+                        yield (BAREKEY, w, start)
+                elif g == 9:  # punct
+                    yield (_PUNCT_KIND[m.group()], None, start)
+                elif g == 8:  # num
+                    yield self.classify_number(m.group(), start)
+                elif g == 4 or g == 5:  # sstr / slit
+                    yield (STRING, m.group()[1:-1], start)
+                elif g == 2:  # nl
+                    yield (NL, None, start)
+                elif g == 3:  # comment
+                    pass
+                elif g == 7:  # signspec
+                    w = m.group()
+                    v = float("inf") if w[1:] == "inf" else float("nan")
+                    yield (NUMBER, -v if w[0] == "-" else v, start)
+                elif g == 10:  # dq: escaped/multiline basic string — re-scan
+                    sv, i = self.lex_basic(start)
+                    yield (STRING, sv, start)
+                    restart = True
+                    break
+                else:  # g == 11, sq
+                    sv, i = self.lex_literal(start)
+                    yield (STRING, sv, start)
+                    restart = True
+                    break
         if i != n:
             raise self.err(INVALID_TOKEN, "invalid token", i)
-        append((EOF, None, n))
-        return out
+        yield (EOF, None, n)
 
-    def _resume(self, i: int) -> list[tuple[str, object, int]]:
-        """Continue tokenizing from offset i (after a fallback string
-        lex consumed past the regex stream position)."""
-        rest = _TomlLexer(self.text[i:]).tokens()
-        return [(k, v, off + i) for (k, v, off) in rest]
+    def tokens(self) -> list[tuple[str, object, int]]:
+        """Eager form (drains the generator) — kept for callers that
+        want the whole stream."""
+        return list(self.iter_tokens())
 
     def lex_basic(self, i: int) -> tuple[str, int]:
         text, n = self.text, self.n
@@ -342,12 +350,30 @@ class _TomlLexer:
 
 
 class _TomlParser:
-    __slots__ = ("text", "toks", "pos", "cfg", "depth", "root", "current_table", "current_is_array")
+    __slots__ = (
+        "text", "_tok_iter", "_buf", "_eof_tok", "cfg", "depth", "root",
+        "current_table", "current_is_array",
+    )
 
     def __init__(self, text: str, cfg: TomlConfig):
         self.text = text
-        self.toks = _TomlLexer(text).tokens()
-        self.pos = 0
+        # LAZY lexing (reference toml/parser.rs:88-122 parity): tokens
+        # reach the grammar as it consumes them, so lexical errors
+        # surface at the statement that reaches them — and a parse error
+        # earlier in the document wins over a lexical error later in it.
+        # Laziness is only OBSERVABLE when the document has a lexical
+        # error, so the clean case keeps the eager list lex (the fast
+        # path — a generator pull per token costs ~16% on the TOML
+        # walk); a lexical failure falls back to a lazy re-lex whose
+        # pull timing is exactly the reference's.
+        try:
+            self._tok_iter: Iterator[tuple[str, object, int]] = iter(
+                _TomlLexer(text).tokens()
+            )
+        except ParseError:
+            self._tok_iter = _TomlLexer(text).iter_tokens()
+        self._buf: list[tuple[str, object, int]] = []  # LIFO pushback stack
+        self._eof_tok: tuple[str, object, int] | None = None
         self.cfg = cfg
         self.depth = 0
         self.root: dict = {}
@@ -356,13 +382,25 @@ class _TomlParser:
 
     # -- token helpers ---------------------------------------------------
     def next(self) -> tuple[str, object, int]:
-        t = self.toks[self.pos]
-        if t[0] != EOF:
-            self.pos += 1
+        if self._buf:
+            return self._buf.pop()
+        if self._eof_tok is not None:  # EOF is sticky, never consumed
+            return self._eof_tok
+        t = next(self._tok_iter)
+        if t[0] == EOF:
+            self._eof_tok = t
         return t
 
     def peek(self) -> tuple[str, object, int]:
-        return self.toks[self.pos]
+        if self._buf:
+            return self._buf[-1]
+        t = self.next()
+        if t[0] != EOF:
+            self._buf.append(t)
+        return t
+
+    def push_back(self, t: tuple[str, object, int]) -> None:
+        self._buf.append(t)
 
     def next_non_nl(self):
         while True:
@@ -446,7 +484,7 @@ class _TomlParser:
         kind = t[0]
         if kind == DLB:
             # '[[' in value position = two nested array opens (normalize_value_token)
-            self.toks.insert(self.pos, (LB, None, t[2]))
+            self.push_back((LB, None, t[2]))
             kind = LB
         if kind == STRING:
             return t[1]
@@ -476,7 +514,7 @@ class _TomlParser:
 
     def _split_drb(self, t):
         """']]' closing nested arrays splits into two ']' tokens."""
-        self.toks.insert(self.pos, (RB, None, t[2]))
+        self.push_back((RB, None, t[2]))
         return (RB, None, t[2])
 
     def parse_array(self, off: int) -> list:
@@ -502,7 +540,7 @@ class _TomlParser:
                     nxt = self._split_drb(nxt)
                 if nxt[0] == RB:
                     break
-                self.pos -= 1  # push back
+                self.push_back(nxt)
                 continue
             if t[0] == RB:
                 break
@@ -521,7 +559,7 @@ class _TomlParser:
         if t[0] == RBRACE:
             self.depth -= 1
             return obj
-        self.pos -= 1
+        self.push_back(t)
         while True:
             key = self.parse_key_path(self.next())
             self.expect(EQ)

@@ -225,7 +225,14 @@ def run_validation(
                 # docmeta doc_hash column
                 hash_bufs = []
                 pfiles = sorted(glob.glob(os.path.join(out_dir, "partials", "part-*.parquet")))
-                if pfiles and "doc_hashes" in pq.read_schema(pfiles[0]).names:
+                # EVERY partials file must carry doc_hashes (same
+                # discipline as the docmeta have_hash check above): a
+                # resume can mix old-schema partials in, and relying on
+                # read_table null-filling + the total_meta length guard
+                # to fall back is version-dependent behavior (ADVICE r3)
+                if pfiles and all(
+                    "doc_hashes" in pq.read_schema(f).names for f in pfiles
+                ):
                     for buf in pq.read_table(pfiles, columns=["doc_hashes"])[
                         "doc_hashes"
                     ].to_pylist():
