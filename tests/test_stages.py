@@ -349,6 +349,48 @@ def test_bucketed_shuffle_join_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_broadcast_lookup_join_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from zparse_ray.stages.joins import broadcast_lookup_join
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 40, 300), "lv": rng.standard_normal(300)}
+    )
+    # unique-key dimension with a string value column (the shape the
+    # dimension queries feed it) and some keys absent from the left side
+    dim = pa.table(
+        {
+            "dk": pa.array(range(0, 60, 2), pa.int64()),
+            "name": pa.array([f"n{i}" for i in range(0, 60, 2)], pa.string()),
+        }
+    )
+    out = broadcast_lookup_join(rd.from_pandas(left), dim, left_on="k", right_on="dk")
+    got = (
+        pd.DataFrame(out.take_all())[["k", "lv", "name"]]
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(dim.to_pandas(), left_on="k", right_on="dk")[["k", "lv", "name"]]
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        broadcast_lookup_join(
+            rd.from_pandas(left),
+            pa.table({"dk": pa.array([1, None], pa.int64()), "v": pa.array([1, 2])}),
+            left_on="k",
+            right_on="dk",
+        )
+
+
 def test_top_customers_shuffle_fallback_matches_broadcast(ray_session):
     from zparse_ray.pipelines.driver_queries import top_customers
 
