@@ -767,3 +767,20 @@ def test_fingerprint_batch_matches_per_row_reference():
         else:
             expect = int(hash64(np.array([text], dtype=object))[0])
         assert got[d] == int(np.uint64(expect).astype(np.int64)), f"doc {d}"
+
+
+def test_token_regex_ascii_matches_re2_oracle_semantics():
+    """Python \\S defaults to Unicode (would match around U+00A0 /
+    U+2003 differently than DuckDB's RE2 ASCII classes); the token
+    stages pin re.ASCII so cross-engine token counts agree even on
+    non-ASCII whitespace."""
+    import duckdb
+
+    texts = ["a b c", "héllo wörld", "x y", "", "  plain ascii  "]
+    got = token_count_batch(_doc_batch(texts))["n_tokens"].to_pylist()
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT len(regexp_extract_all(?, '\\S+'))", [t]).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want

@@ -909,8 +909,10 @@ def top_tokens(sf_dir: str, k: int = 20):
     ds = _read(sf_dir, "documents", ["text"])
 
     def partial(t: pa.Table) -> pa.Table:
+        from ..stages.textops import _NONWS  # ASCII \S+, RE2-oracle parity
+
         s = t["text"].to_pandas().fillna("")
-        ex = s.str.findall(r"\S+").explode().dropna()
+        ex = s.str.findall(_NONWS).explode().dropna()
         if ex.empty:
             return pa.table({"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
         vc = ex.value_counts()
@@ -958,8 +960,10 @@ def top_tokens_cms(sf_dir: str, k: int = 20):
     ds = _read(sf_dir, "documents", ["text"])
 
     def partial(t: pa.Table) -> pa.Table:
+        from ..stages.textops import _NONWS  # ASCII \S+, RE2-oracle parity
+
         s = t["text"].to_pandas().fillna("")
-        ex = s.str.findall(r"\S+").explode().dropna()
+        ex = s.str.findall(_NONWS).explode().dropna()
         cms = CountMinSketch()
         if ex.empty:
             return pa.table(

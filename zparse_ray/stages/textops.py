@@ -16,10 +16,14 @@ import numpy as np
 import pyarrow as pa
 
 # token = word chars incl. apostrophes, or a single non-space symbol —
-# a BPE-ish pre-tokenizer split (public GPT-2 pretokenizer flavor)
-_BPEISH = re.compile(r"[A-Za-zÀ-ɏ]+(?:'[a-z]+)?|\d+|[^\sA-Za-zÀ-ɏ\d]")
-_WS = re.compile(r"\s+")
-_NONWS = re.compile(r"\S+")
+# a BPE-ish pre-tokenizer split (public GPT-2 pretokenizer flavor).
+# re.ASCII pins \s/\S/\d to the ASCII classes DuckDB's RE2 oracle uses
+# (Python's default Unicode classes would also match U+00A0 etc. and
+# silently break cross-engine parity on non-ASCII corpora); the
+# explicit À-ɏ ranges keep matching accented letters either way
+_BPEISH = re.compile(r"[A-Za-zÀ-ɏ]+(?:'[a-z]+)?|\d+|[^\sA-Za-zÀ-ɏ\d]", re.ASCII)
+_WS = re.compile(r"\s+", re.ASCII)
+_NONWS = re.compile(r"\S+", re.ASCII)
 
 # tiny per-language stopword/character profiles for the n-gram heuristic
 _LANG_PROFILES = {
