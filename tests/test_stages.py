@@ -784,3 +784,49 @@ def test_token_regex_ascii_matches_re2_oracle_semantics():
         for t in texts
     ]
     assert got == want
+
+
+def test_connected_components_matches_union_find(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from zparse_ray.stages.dedup import connected_components
+
+    rng = np.random.default_rng(13)
+    # random sparse graph: chains, cliques and singleton-free pairs
+    a = rng.integers(0, 120, 150).astype(np.int64)
+    b = rng.integers(0, 120, 150).astype(np.int64)
+    keep = a != b
+    edges = pd.DataFrame({"a": a[keep], "b": b[keep]})
+
+    out = connected_components(rd.from_pandas(edges), n_buckets=4)
+    got = {r["node"]: r["component"] for r in out.take_all()}
+
+    # union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(edges["a"], edges["b"]):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {}
+    for v in set(edges["a"]) | set(edges["b"]):
+        # component label = min node id in the component
+        want[int(v)] = min(u for u in parent if find(u) == find(int(v)))
+    assert got == want
+
+
+def test_connected_components_empty(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from zparse_ray.stages.dedup import connected_components
+
+    empty = pd.DataFrame({"a": pd.array([], dtype="int64"), "b": pd.array([], dtype="int64")})
+    assert connected_components(rd.from_pandas(empty)).count() == 0

@@ -12,7 +12,7 @@ Scale notes are inline per query: broadcast joins for small sides,
 partial aggregation before shuffles, partial-set unions for
 low-cardinality distincts, sketches for the approximate variants.
 
-45 of 54 queries carry oracle SQL. Four approximate operators are
+46 of 55 queries carry oracle SQL. Four approximate operators are
 oracle-checked via the TRUE-boolean pattern (the hll_within_2pct
 precedent): the output carries SQL-reproducible exact facets plus
 hash-gated accuracy booleans computed against the exact green
@@ -1303,6 +1303,70 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
   AND 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(list_concat(a.sh, b.sh)))
+"""
+
+
+def neardup_components(sf_dir: str):
+    """Dedup GROUPS from near-dup pairs — the step a training-data
+    dedup pipeline runs after pair generation (keep one doc per
+    component): connected components over the oracle-checked exact
+    n-gram Jaccard pair set (bounded doc_id < 150) via the distributed
+    min-label-propagation operator (dedup.connected_components — one
+    bucketed shuffle join + keyed Min per round, labels never leave
+    distributed form). Output: one row per component
+    (component_id = min doc_id, n_docs). Oracle: DuckDB recursive-CTE
+    transitive closure over the same pair SQL."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import connected_components
+
+    pairs = ngram_jaccard_neardup(sf_dir).select(["a", "b"])
+    if pairs.num_rows == 0:
+        return pa.table(
+            {"component_id": pa.array([], pa.int64()), "n_docs": pa.array([], pa.int64())}
+        )
+    comp = connected_components(rd.from_arrow(pairs), n_buckets=4)
+    out = comp.groupby("component").aggregate(Count(alias_name="n_docs"))
+    t = pa.Table.from_pylist(out.take_all())
+    return pa.table(
+        {
+            "component_id": pc.cast(t["component"], pa.int64()),
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+        }
+    )
+
+
+_COMPONENTS_SQL = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS w
+  FROM documents WHERE doc_id < 150
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(range(1, greatest(len(w)-4,0)+1),
+                     i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
+         END AS sh
+  FROM d
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+    AND 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(list_concat(a.sh, b.sh)))
+), nodes AS (
+  SELECT a AS v FROM p UNION SELECT b FROM p
+), e AS (
+  SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p
+), reach(v, w) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT r.v, e.dst FROM reach r JOIN e ON r.w = e.src
+), lab AS (
+  SELECT v, MIN(w) AS label FROM reach GROUP BY v
+)
+SELECT CAST(label AS BIGINT) AS component_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM lab GROUP BY label
 """
 
 
@@ -2751,7 +2815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     queries can only ever drop rows-only entries — never an
     oracle-backed one."""
     return {
-        # --- oracle-backed (45) ---
+        # --- oracle-backed (46) ---
         "q1_pricing_summary": q1_pricing_summary,
         "orders_status_priority": orders_status_priority,
         "top_customers": top_customers,
@@ -2760,6 +2824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_limit_top_lineitems": sort_limit_top_lineitems,
         "orders_lineitem_revenue": orders_lineitem_revenue,
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
+        "neardup_components": neardup_components,
         "quantiles_by_type": quantiles_by_type,
         "stratified_split_counts": stratified_split_counts,
         "events_range_join": events_range_join,
@@ -2854,6 +2919,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_uniqueness": _BLOOM_SQL,
         "drift_binned_ks": _BINNED_KS_SQL,
         "embedding_neardup_lsh": _NEARDUP_LSH_SQL,
+        "neardup_components": _COMPONENTS_SQL,
         "top_tokens_cms": _CMS_SQL,
         "ann_ivf_topk": _IVF_SQL,
         "tdigest_quantiles_by_type": _TDIGEST_GROUPQ_SQL,

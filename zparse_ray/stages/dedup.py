@@ -245,6 +245,75 @@ def simhash_band_explode(batch: pa.Table, *, n_bands: int = 4) -> pa.Table:
     )
 
 
+def connected_components(edges_ds, *, max_rounds: int = 50, n_buckets: int | None = None,
+                         est_rows: int | None = None):
+    """Connected components over an (a, b) int64 edge Dataset — the
+    step that turns a near-dup PAIR list into dedup GROUPS (keep one
+    doc per component). Returns a Dataset[(node, component)] where
+    ``component`` is the minimum node id in the node's component.
+
+    Scale shape: iterative min-label propagation. Each round is ONE
+    bucketed hash-shuffle join (labels ⋈ directed edges, reusing
+    stages/joins' skew-safe bucketing) plus a keyed Min aggregate —
+    O(E) rows move per round and labels stay distributed; the driver
+    sees one number per round (the global label sum) to detect the
+    fixpoint. Rounds needed = O(component diameter); near-dup
+    components are near-cliques, so 2-3 rounds in practice. Per-round
+    ``materialize()`` bounds lineage depth (labels are O(V), far
+    smaller than the corpus the pairs came from)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from .joins import bucketed_shuffle_join
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        v = np.unique(t["src"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(v, pa.int64()), "component": pa.array(v, pa.int64())})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("component", alias_name="component"))
+        .materialize()
+    )
+    if labels.count() == 0:
+        return labels
+    prev_sum = None
+    for _ in range(max_rounds):
+        prop = bucketed_shuffle_join(
+            edges, labels, left_on="src", right_on="node",
+            n_buckets=n_buckets, est_rows=est_rows,
+        )
+
+        def msg(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["dst"], "component": t["component"]})
+
+        labels = (
+            prop.map_batches(msg, batch_format="pyarrow")
+            .union(labels)
+            .groupby("node")
+            .aggregate(Min("component", alias_name="component"))
+            .materialize()
+        )
+        s = labels.sum("component")
+        if s == prev_sum:  # min-labels are monotone non-increasing
+            break
+        prev_sum = s
+    return labels
+
+
 def simhash_candidate_pairs(group: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
     """map_groups body over (band_id, band_bits) buckets: exact-hamming
     verify within the bucket; emits (a, b, hamming) pairs <= max_hamming.
