@@ -103,6 +103,37 @@ def test_resume_skips_committed(spans_dir, run_out, tmp_path):
         assert os.path.getmtime(p) == t, f"committed output {p} was rewritten"
 
 
+def test_resume_with_old_schema_partials_falls_back(spans_dir, run_out, tmp_path):
+    """A resume can mix partials files written by an engine version
+    without the doc_hashes column; the dup fast path must detect that
+    (ALL files checked — ADVICE r3) and fall back to the docmeta
+    doc_hash scan with byte-identical results."""
+    out2 = str(tmp_path / "mixed_partials")
+    shutil.rmtree(out2, ignore_errors=True)
+    run_validation(spans_dir, out2, round_trip=True)
+    before = read_pipeline_outputs(out2)
+
+    # strip doc_hashes from ONE committed partials file (old-schema mix)
+    pdir = os.path.join(out2, "partials")
+    victim = sorted(os.listdir(pdir))[1]
+    vpath = os.path.join(pdir, victim)
+    t = pq.read_table(vpath)
+    pq.write_table(t.drop_columns(["doc_hashes"]), vpath)
+
+    # invalidate one partition so the resumed run re-finalizes
+    mpath = os.path.join(out2, "manifest.json")
+    m = json.load(open(mpath))
+    del m["partitions"]["3"]
+    json.dump(m, open(mpath, "w"))
+    for sub in ("violations", "docmeta", "partials"):
+        for name in os.listdir(os.path.join(out2, sub)):
+            if name.startswith("part-00003"):
+                os.remove(os.path.join(out2, sub, name))
+
+    run_validation(spans_dir, out2, round_trip=True)
+    assert read_pipeline_outputs(out2) == before
+
+
 def test_distributed_dup_path_matches_driver_path(spans_dir, run_out, tmp_path):
     # force the distributed groupby(doc_id) path (the 10^12-scale path)
     # and check it produces byte-identical output to the driver path

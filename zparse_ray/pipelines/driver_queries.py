@@ -12,7 +12,7 @@ Scale notes are inline per query: broadcast joins for small sides,
 partial aggregation before shuffles, partial-set unions for
 low-cardinality distincts, sketches for the approximate variants.
 
-46 of 55 queries carry oracle SQL. Four approximate operators are
+47 of 56 queries carry oracle SQL. Four approximate operators are
 oracle-checked via the TRUE-boolean pattern (the hll_within_2pct
 precedent): the output carries SQL-reproducible exact facets plus
 hash-gated accuracy booleans computed against the exact green
@@ -351,6 +351,64 @@ SELECT o_orderpriority,
        COUNT(*) AS n_items
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
+"""
+
+
+def customer_order_count_hist(sf_dir: str):
+    """LEFT OUTER join at shuffle scale: distribution of per-customer
+    order counts INCLUDING zero-order customers (the rows an inner join
+    drops). One bucketed hash shuffle co-locates both sides
+    (joins.bucketed_shuffle_join how='left'); unmatched customers carry
+    a null order key, counted as zero. Two further keyed aggregates are
+    tiny (customer-count sized). Oracle-checked."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import bucketed_shuffle_join
+
+    customers = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    est = (
+        pq.ParquetFile(os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
+        + pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
+    )
+    joined = bucketed_shuffle_join(
+        customers, orders, left_on="c_custkey", right_on="o_custkey",
+        est_rows=est, how="left",
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "has_order": pc.cast(pc.is_valid(t["o_orderkey"]), pa.int64()),
+            }
+        )
+
+    out = (
+        joined.map_batches(mark, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("has_order", alias_name="n_orders"))
+        .groupby("n_orders")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+    t = pa.Table.from_pylist(out.take_all())
+    return pa.table(
+        {
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            "n_customers": pc.cast(t["n_customers"], pa.int64()),
+        }
+    )
+
+
+_LEFTJOIN_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM per_cust GROUP BY n_orders
 """
 
 
@@ -2815,7 +2873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     queries can only ever drop rows-only entries — never an
     oracle-backed one."""
     return {
-        # --- oracle-backed (46) ---
+        # --- oracle-backed (47) ---
         "q1_pricing_summary": q1_pricing_summary,
         "orders_status_priority": orders_status_priority,
         "top_customers": top_customers,
@@ -2829,6 +2887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_split_counts": stratified_split_counts,
         "events_range_join": events_range_join,
         "part_semi_anti_join": part_semi_anti_join,
+        "customer_order_count_hist": customer_order_count_hist,
         "events_user_gaps": events_user_gaps,
         "null_type_hist": null_type_hist,
         "minmax_mean": minmax_mean,
@@ -2920,6 +2979,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_binned_ks": _BINNED_KS_SQL,
         "embedding_neardup_lsh": _NEARDUP_LSH_SQL,
         "neardup_components": _COMPONENTS_SQL,
+        "customer_order_count_hist": _LEFTJOIN_SQL,
         "top_tokens_cms": _CMS_SQL,
         "ann_ivf_topk": _IVF_SQL,
         "tdigest_quantiles_by_type": _TDIGEST_GROUPQ_SQL,
