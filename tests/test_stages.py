@@ -830,3 +830,35 @@ def test_connected_components_empty(ray_session):
 
     empty = pd.DataFrame({"a": pd.array([], dtype="int64"), "b": pd.array([], dtype="int64")})
     assert connected_components(rd.from_pandas(empty)).count() == 0
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from zparse_ray.stages.stats import grouped_topk
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 7, 500).astype(str),
+            "v": rng.integers(0, 50, 500),      # many ties
+            "id": np.arange(500, dtype=np.int64),
+        }
+    )
+    out = grouped_topk(
+        rd.from_pandas(df), group_col="g", order_col="v", k=4, tie_cols=["id"]
+    )
+    got = (
+        pd.DataFrame(out.take_all())
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)[["g", "v", "id"]]
+    )
+    want = (
+        df.sort_values(["v", "id"], ascending=[False, True], kind="mergesort")
+        .groupby("g", sort=False)
+        .head(4)
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)[["g", "v", "id"]]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

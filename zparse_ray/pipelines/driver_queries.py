@@ -12,7 +12,7 @@ Scale notes are inline per query: broadcast joins for small sides,
 partial aggregation before shuffles, partial-set unions for
 low-cardinality distincts, sketches for the approximate variants.
 
-47 of 56 queries carry oracle SQL. Four approximate operators are
+48 of 57 queries carry oracle SQL. Four approximate operators are
 oracle-checked via the TRUE-boolean pattern (the hll_within_2pct
 precedent): the output carries SQL-reproducible exact facets plus
 hash-gated accuracy booleans computed against the exact green
@@ -1079,6 +1079,37 @@ SELECT CAST(20 AS BIGINT) AS k,
        TRUE AS topk_overlap_full,
        TRUE AS overestimate_lt_1pct_tokens
 FROM documents
+"""
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 3):
+    """Grouped top-k (the grouped counterpart of sort+limit): the k
+    longest docs per lang with deterministic doc_id tie-break, via
+    stats.grouped_topk — per-batch k-per-group combiner, ONE
+    groupby(lang) shuffle of k-sized partials, no whole-group
+    materialization. Oracle-checked against a ROW_NUMBER window."""
+    from ..stages.stats import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+    out = grouped_topk(
+        ds, group_col="lang", order_col="n_chars", k=k, tie_cols=["doc_id"]
+    )
+    rows = sorted(out.take_all(), key=lambda r: (r["lang"], -r["n_chars"], r["doc_id"]))
+    return pa.table(
+        {
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+        }
+    )
+
+
+_TOPPERLANG_SQL = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 3
 """
 
 
@@ -2873,7 +2904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     queries can only ever drop rows-only entries — never an
     oracle-backed one."""
     return {
-        # --- oracle-backed (47) ---
+        # --- oracle-backed (48) ---
         "q1_pricing_summary": q1_pricing_summary,
         "orders_status_priority": orders_status_priority,
         "top_customers": top_customers,
@@ -2902,6 +2933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpeish_token_counts": bpeish_token_counts,
         "top_tokens": top_tokens,
         "top_tokens_cms": top_tokens_cms,
+        "top_docs_per_lang": top_docs_per_lang,
         "quality_stats": quality_stats,
         "exact_dedup": exact_dedup,
         "ann_topk": ann_topk,
@@ -2980,6 +3012,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": _NEARDUP_LSH_SQL,
         "neardup_components": _COMPONENTS_SQL,
         "customer_order_count_hist": _LEFTJOIN_SQL,
+        "top_docs_per_lang": _TOPPERLANG_SQL,
         "top_tokens_cms": _CMS_SQL,
         "ann_ivf_topk": _IVF_SQL,
         "tdigest_quantiles_by_type": _TDIGEST_GROUPQ_SQL,

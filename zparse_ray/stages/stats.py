@@ -461,3 +461,37 @@ def grouped_exact_ranks(
             vals = np.sort(np.concatenate(pools[i])) if pools[i] else np.array([items[k][0]])
             values[k] = float(vals[min(items[k][3], len(vals) - 1)])
     return values, group_n
+
+
+def grouped_topk(ds, *, group_col: str, order_col: str, k: int,
+                 descending: bool = True, tie_cols: list[str] | None = None):
+    """Top-k rows PER GROUP — the grouped counterpart of sort+limit.
+
+    Scale shape: a per-batch combiner keeps at most k rows per group
+    per batch (vectorized pandas sort + ``groupby().head(k)``), so at
+    most k x n_groups rows leave any block; ONE ``groupby(group_col)``
+    shuffle then merges the partials and re-takes the top k per group.
+    A hot group never materializes — it streams through as k-sized
+    partials (k x n_blocks rows at the merge, independent of group row
+    count). Ties break deterministically on ``tie_cols`` (ascending).
+
+    Returns a Dataset with the input columns, k rows per group.
+    """
+    import pandas as pd
+
+    ties = tie_cols or []
+    by = [order_col] + ties
+    asc = [not descending] + [True] * len(ties)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(by, ascending=asc, kind="mergesort")
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(partial, batch_format="pandas")
+    )
