@@ -380,3 +380,48 @@ def test_doc_hashes_not_carried_on_distributed_path(spans_dir, tmp_path):
     assert pfiles
     t = _pq.read_table(pfiles, columns=["doc_hashes"])
     assert all(len(b) == 0 for b in t["doc_hashes"].to_pylist())
+
+
+def test_dedup_corpus_exact_and_minhash(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from zparse_ray.pipelines.dedup_corpus import dedup_corpus
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{j}" for j in range(400)]
+    # distinct random word soup per doc: cross-doc 5-gram Jaccard ~0,
+    # while a one-word drop keeps J~0.9 (reliably LSH-detectable)
+    base = [" ".join(rng.choice(vocab, 100, replace=False)) for _ in range(40)]
+    texts = list(base)
+    ids = list(range(40))
+    # exact dups (normalized): copies of docs 0-4 with case/space tweaks
+    for i in range(5):
+        texts.append("  " + base[i].upper() + " ")
+        ids.append(100 + i)
+    # near-dups: docs 5-9 with one word dropped (minhash-detectable)
+    for i in range(5, 10):
+        words = base[i].split()
+        del words[len(words) // 2]
+        texts.append(" ".join(words))
+        ids.append(200 + i)
+    df = pd.DataFrame({"doc_id": np.array(ids, np.int64), "text": texts})
+    src = str(tmp_path / "docs.parquet")
+    pa.parquet.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+
+    out1 = str(tmp_path / "dedup_exact")
+    stats = dedup_corpus(src, out1, mode="exact")
+    assert stats["n_docs_in"] == 50
+    assert stats["n_dropped"] == 5  # the 5 normalized-exact copies
+    kept = set(pq.read_table(out1)["doc_id"].to_pylist())
+    assert kept == set(range(40)) | {205, 206, 207, 208, 209}
+
+    out2 = str(tmp_path / "dedup_minhash")
+    stats2 = dedup_corpus(src, out2, mode="minhash", threshold=0.5)
+    kept2 = set(pq.read_table(out2)["doc_id"].to_pylist())
+    # every planted copy (exact AND near) collapses onto its original
+    assert set(range(40)) <= kept2
+    assert not kept2 & ({100 + i for i in range(5)} | {200 + i for i in range(5, 10)})
+    assert stats2["n_neardup_components"] >= 5
+    assert stats2["n_dropped"] >= 10

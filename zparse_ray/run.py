@@ -86,6 +86,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--seed", type=int, default=42)
     s.add_argument("--out-base", default="/tmp/zparse_ray_synth")
 
+    d = sub.add_parser("dedup", help="deduplicate a documents parquet corpus")
+    d.add_argument("--input", required=True, help="documents parquet file or directory")
+    d.add_argument("--output", required=True, help="output directory (partitioned parquet)")
+    d.add_argument("--mode", choices=("exact", "minhash"), default="exact")
+    d.add_argument("--id-column", default="doc_id")
+    d.add_argument("--text-column", default="text")
+    d.add_argument("--threshold", type=float, default=0.8,
+                   help="minhash mode: exact-Jaccard keep threshold")
+    d.add_argument("--num-cpus", type=int, default=None)
+
     c = sub.add_parser("convert", help="convert one document between formats")
     c.add_argument("--from", dest="from_fmt", default=None)
     c.add_argument("--to", dest="to_fmt", required=True)
@@ -147,6 +157,18 @@ def main(argv: list[str] | None = None) -> int:
 
             cfg = SynthConfig(n_docs=args.docs, n_partitions=args.partitions, seed=args.seed)
             print(ensure_dataset(cfg, args.out_base))
+            return 0
+        if args.cmd == "dedup":
+            from .pipelines.dedup_corpus import dedup_corpus
+
+            print(json.dumps(dedup_corpus(
+                args.input,
+                args.output,
+                mode=args.mode,
+                id_column=args.id_column,
+                text_column=args.text_column,
+                threshold=args.threshold,
+            )))
             return 0
         from .pipelines.validate import run_validation
         from .stages.spancheck import build_parser_configs
