@@ -325,6 +325,14 @@ class _TomlLexer:
         """Classify a number/datetime charset run (lexer/toml.rs:424-528
         semantics); signed inf/nan specials handled via the lone-sign
         match followed by a word token -> see parse_value_from."""
+        # fast path: a pure digit run (the overwhelmingly common case)
+        # cannot be datetime-like (no T/:/Z/dashes) and needs no
+        # underscore strip or sign handling — one C-speed isdigit gate
+        if raw.isdigit():
+            val = int(raw)
+            if val >= 2**63:
+                raise self.err(INVALID_NUMBER, "invalid number", start)
+            return (NUMBER, float(val), start)
         if _is_datetime_like(raw):
             return (DATETIME, raw, start)
         norm = raw.replace("_", "")
