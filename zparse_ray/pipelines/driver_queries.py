@@ -56,7 +56,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+def _read(sf_dir: str, table: str, columns: list[str] | None = None, *, row_filter=None):
     import ray.data as rd
 
     path = os.path.join(sf_dir, f"{table}.parquet")
@@ -64,10 +64,13 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     # pa.Schema unhashable, so every block triggers Ray's schema-dedup
     # warning in the workers; passing an explicit metadata-stripped schema
     # removes the condition at the read (and still prunes columns).
+    # row_filter (a pyarrow.dataset expression) pushes row predicates
+    # into the read — bounded queries must not full-scan at 100 TB.
     schema = pq.read_schema(path).remove_metadata()
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
-    return rd.read_parquet(path, columns=columns, schema=schema)
+    kwargs = {} if row_filter is None else {"filter": row_filter}
+    return rd.read_parquet(path, columns=columns, schema=schema, **kwargs)
 
 
 def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
@@ -1323,13 +1326,17 @@ def ngram_jaccard_neardup(sf_dir: str):
     floor(100*j + 0.5) = (200*inter + union) // (2*union). Tokens are
     ASCII [a-z0-9_]+ on lower() so Python re and RE2 agree. The
     SCALABLE path for this family is minhash_lsh_neardup; this is its
-    exact, checkable counterpart on a bounded subset."""
+    exact, checkable counterpart on a bounded subset. The doc_id bound
+    PUSHES INTO THE READ (parquet row filter) — a bounded query must
+    not full-scan the corpus at 100 TB."""
     import re as _re
+
+    import pyarrow.dataset as pads
 
     tok = _re.compile(r"[a-z0-9_]+")
 
     def shingle_rows(t: pa.Table) -> pa.Table:
-        sel = t.filter(pc.less(t["doc_id"], 150))
+        sel = t.filter(pc.less(t["doc_id"], 150))  # idempotent post-filter
         ids, shs = [], []
         for did, text in zip(sel["doc_id"].to_pylist(), sel["text"].to_pylist()):
             w = tok.findall((text or "").lower())
@@ -1346,7 +1353,8 @@ def ngram_jaccard_neardup(sf_dir: str):
         )
 
     rows = (
-        _read(sf_dir, "documents", ["doc_id", "text"])
+        _read(sf_dir, "documents", ["doc_id", "text"],
+              row_filter=(pads.field("doc_id") < 150))
         .map_batches(shingle_rows, batch_format="pyarrow")
         .take_all()
     )
