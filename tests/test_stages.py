@@ -862,3 +862,34 @@ def test_grouped_topk_matches_pandas(ray_session):
         .reset_index(drop=True)[["g", "v", "id"]]
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bucketed_shuffle_left_join_null_marks(ray_session):
+    """how='left' must keep zero-match left rows, and the downstream
+    is_valid marking (customer_order_count_hist's shape) must see their
+    right keys as NULL — the pandas NaN round-trip may not silently
+    turn them into valid floats."""
+    import pandas as pd
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from zparse_ray.stages.joins import bucketed_shuffle_join
+
+    left = pd.DataFrame({"k": np.array([1, 2, 3, 4], np.int64)})
+    right = pd.DataFrame(
+        {"rk": np.array([1, 1, 3], np.int64), "rv": np.array([10, 11, 30], np.int64)}
+    )
+    out = bucketed_shuffle_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        left_on="k", right_on="rk", n_buckets=2, how="left",
+    )
+    rows = []
+    for b in out.iter_batches(batch_format="pyarrow"):
+        hit = _pc.cast(_pc.is_valid(b["rv"]), pa.int64())
+        rows.extend(zip(b["k"].to_pylist(), hit.to_pylist()))
+    got = {}
+    for k, h in rows:
+        got[k] = got.get(k, 0) + h
+    # k=1 matches twice, k=3 once, k=2/k=4 keep one row each with NULL rv
+    assert got == {1: 2, 2: 0, 3: 1, 4: 0}
+    assert sorted(k for k, _ in rows) == [1, 1, 2, 3, 4]
