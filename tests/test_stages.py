@@ -389,6 +389,13 @@ def test_broadcast_lookup_join_matches_pandas(ray_session):
             left_on="k",
             right_on="dk",
         )
+    with pytest.raises(ValueError):  # duplicate dimension keys: loud, not silent
+        broadcast_lookup_join(
+            rd.from_pandas(left),
+            pa.table({"dk": pa.array([1, 1], pa.int64()), "v": pa.array([1, 2])}),
+            left_on="k",
+            right_on="dk",
+        )
 
 
 def test_top_customers_shuffle_fallback_matches_broadcast(ray_session):
@@ -772,11 +779,13 @@ def test_fingerprint_batch_matches_per_row_reference():
 def test_token_regex_ascii_matches_re2_oracle_semantics():
     """Python \\S defaults to Unicode (would match around U+00A0 /
     U+2003 differently than DuckDB's RE2 ASCII classes); the token
-    stages pin re.ASCII so cross-engine token counts agree even on
-    non-ASCII whitespace."""
+    stages use the explicit RE2 whitespace class [\\t\\n\\f\\r ] so
+    cross-engine token counts agree on ALL whitespace (even Python's
+    ASCII \\s includes U+000B vertical tab; RE2's does not)."""
     import duckdb
 
-    texts = ["a b c", "héllo wörld", "x y", "", "  plain ascii  "]
+    texts = ["a b c", "héllo wörld", "x y", "", "  plain ascii  ",
+             "a\x0bb c", "f\x0cf"]  # U+000B: Python ASCII \s has it, RE2 does not
     got = token_count_batch(_doc_batch(texts))["n_tokens"].to_pylist()
     con = duckdb.connect()
     want = [
@@ -846,6 +855,9 @@ def test_grouped_topk_matches_pandas(ray_session):
             "id": np.arange(500, dtype=np.int64),
         }
     )
+    # null group keys must form their own partition (SQL ROW_NUMBER
+    # semantics), not be silently dropped by pandas groupby
+    df.loc[df.index[:30], "g"] = None
     out = grouped_topk(
         rd.from_pandas(df), group_col="g", order_col="v", k=4, tie_cols=["id"]
     )
@@ -856,7 +868,7 @@ def test_grouped_topk_matches_pandas(ray_session):
     )
     want = (
         df.sort_values(["v", "id"], ascending=[False, True], kind="mergesort")
-        .groupby("g", sort=False)
+        .groupby("g", sort=False, dropna=False)
         .head(4)
         .sort_values(["g", "v", "id"], ascending=[True, False, True])
         .reset_index(drop=True)[["g", "v", "id"]]
@@ -893,3 +905,19 @@ def test_bucketed_shuffle_left_join_null_marks(ray_session):
     # k=1 matches twice, k=3 once, k=2/k=4 keep one row each with NULL rv
     assert got == {1: 2, 2: 0, 3: 1, 4: 0}
     assert sorted(k for k, _ in rows) == [1, 1, 2, 3, 4]
+
+
+def test_connected_components_raises_on_round_exhaustion(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from zparse_ray.stages.dedup import connected_components
+
+    # chain 0-1-2-3-4 has diameter 4: min-label needs ~4 rounds
+    chain = pd.DataFrame({"a": np.arange(4, dtype=np.int64),
+                          "b": np.arange(1, 5, dtype=np.int64)})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(rd.from_pandas(chain), max_rounds=2, n_buckets=2)
+    # enough rounds: one component labeled 0
+    out = connected_components(rd.from_pandas(chain), max_rounds=8, n_buckets=2)
+    assert {r["component"] for r in out.take_all()} == {0}

@@ -18,10 +18,14 @@ reference's serialized JsError shape (lib.rs:11-28)::
 
 ``kind`` uses the stable 15-kind vocabulary (lib.rs:61-79) — our
 ParseError.check_id already IS that vocabulary — plus ``UnknownFormat``
-for bad format names (lib.rs:83-89). Divergence (documented): the
+for bad format names (lib.rs:83-89). Divergences (documented): the
 reference's errors carry a (start, end) byte span; this engine's carry
-one position, so ``start == end`` here. Errors with no position info
-map to ``span: None`` like the reference's ``Span::empty()``.
+one position, so ``start == end`` here. And where the reference maps a
+positionless ``Span::empty()`` to ``span: None``, this engine's parse
+errors ALWAYS carry a position (offset 0 / 1:1 is a real
+start-of-document position, not a sentinel), so ``span: None`` occurs
+only for boundary-level errors raised before parsing (UnknownFormat,
+delimiter validation, XML-in-parse rejection).
 """
 
 from __future__ import annotations

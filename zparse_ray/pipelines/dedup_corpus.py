@@ -108,10 +108,11 @@ def _drop_ids_minhash(docs, id_column: str, text_column: str, threshold: float):
             filter_texts, fn_kwargs={"ref": ids_ref}, batch_format="pyarrow"
         ).take_all()
     }
+    # shingle each candidate doc ONCE (a doc in P pairs would otherwise
+    # re-tokenize P times; a capped hot bucket alone yields ~2k pairs)
+    sh = {i: shingles(t) for i, t in texts.items()}
     verified = [
-        (a, b)
-        for a, b in sorted(pairs)
-        if jaccard(shingles(texts[a]), shingles(texts[b])) >= threshold
+        (a, b) for a, b in sorted(pairs) if jaccard(sh[a], sh[b]) >= threshold
     ]
     if not verified:
         return np.array([], dtype=np.int64), 0, n_dropped
@@ -143,18 +144,26 @@ def dedup_corpus(
     threshold: float = 0.8,
 ) -> dict:
     """Run corpus dedup; write surviving rows as partitioned parquet
-    under ``out_dir`` and return a stats dict."""
+    under ``out_dir`` (must not already contain files — a dirty
+    directory would mix runs and corrupt counts) and return a stats
+    dict."""
+    import os
+
     import ray.data as rd
 
     from ..stages.joins import bucketed_semi_mark
 
     if mode not in ("exact", "minhash"):
         raise ValueError(f"unknown dedup mode: {mode!r}")
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise ValueError(f"out_dir {out_dir!r} is not empty — refusing to mix runs")
     docs = rd.read_parquet(input_path)
     n_in = docs.count()
 
     if mode == "exact":
-        keep = _keep_ids_exact(docs, id_column, text_column)
+        # materialized: the winner-id set feeds both the survivor count
+        # and the semi-mark, so the (hash, id) shuffle runs once
+        keep = _keep_ids_exact(docs, id_column, text_column).materialize()
         marked = bucketed_semi_mark(
             docs, keep, left_on=id_column, key_col="keep_id", est_rows=n_in
         )
@@ -163,6 +172,10 @@ def dedup_corpus(
             return t.filter(pc.equal(t["__hit"], 1)).drop_columns(["__hit"])
 
         out = marked.map_batches(keep_hits, batch_format="pyarrow")
+        # survivor count = one winner per distinct content hash — a tiny
+        # keyed aggregate over (hash, id) rows, NOT a re-scan of the
+        # written corpus
+        n_out = keep.count()
         extra = {}
     else:
         drop, n_components, n_truncated = _drop_ids_minhash(
@@ -184,11 +197,12 @@ def dedup_corpus(
                                    batch_format="pyarrow")
         else:
             out = docs
+        # ids are unique, so the survivor count is exact arithmetic
+        n_out = n_in - len(drop)
         extra = {"n_neardup_components": n_components,
                  "n_truncated_slots": n_truncated}
 
     out.write_parquet(out_dir)
-    n_out = rd.read_parquet(out_dir).count()
     return {
         "mode": mode,
         "n_docs_in": int(n_in),

@@ -1688,11 +1688,12 @@ def embedding_neardup_lsh(sf_dir: str):
     planted pairs is deterministically 100%). ORACLE-CHECKED via the
     TRUE-boolean pattern (VERDICT r3 item 6): the output carries the
     SQL-reproducible planted-copy count, the planted-pair recall (must
-    hash-match 100), and a subset cross-check against the hash-green
-    exact variant (every LSH pair is bucket-verified by exact cosine,
-    so it must appear in embedding_neardup_exact's full-matmul pair
-    set). Natural-pair recall < 1 by design — that is exactly what the
-    recall facet measures."""
+    hash-match 100), and a subset-of-exact check: every found pair's
+    cosine is recomputed exactly from a BOUNDED vector fetch (parquet
+    isin filter, O(|found| x dim)) and must clear the 0.9 threshold —
+    equivalent to membership in the exact variant's full-matmul pair
+    set without re-running it. Natural-pair recall < 1 by design —
+    that is exactly what the recall facet measures."""
     from ..stages.similarity import HyperplaneLsh, cosine_neardup_pairs
 
     # dim from one bounded row — never the full table
@@ -1717,16 +1718,43 @@ def embedding_neardup_lsh(sf_dir: str):
         (min(int(r["a"]), int(r["b"])), max(int(r["a"]), int(r["b"])))
         for r in pairs.take_all()
     }
-    planted_found = sum(1 for a, b in found if a < n_planted and b == a + 1_000_000)
-    exact_pairs = {
-        (r["a"], r["b"]) for r in embedding_neardup_exact(sf_dir).to_pylist()
-    }
+    # planted-pair identity = membership in the ACTUAL planted-origin id
+    # set (a count-based `a < n_planted` bound would break on non-dense
+    # vec_ids)
+    mut = _mut_embeddings_table(sf_dir)
+    origin_ids = {int(v) - 1_000_000 for v in mut["vec_id"].to_pylist()}
+    planted_found = sum(1 for a, b in found if a in origin_ids and b == a + 1_000_000)
+    # subset-of-exact via a BOUNDED recompute: fetch only the found
+    # pairs' vectors (parquet isin filter + the in-memory mutations) and
+    # check exact cosine >= 0.9 per pair — O(|found| x dim), never a
+    # second full-matmul run of the exact query
+    subset_ok = True
+    if found:
+        need = sorted({i for p in found for i in p})
+        base_need = [i for i in need if i < 1_000_000]
+        vecs: dict[int, np.ndarray] = {}
+        if base_need:
+            bt = pq.read_table(
+                os.path.join(sf_dir, "embeddings.parquet"),
+                columns=["vec_id", "embedding"],
+                filters=[("vec_id", "in", base_need)],
+            )
+            for vid, emb in zip(bt["vec_id"].to_pylist(), bt["embedding"].to_pylist()):
+                vecs[int(vid)] = np.asarray(emb, dtype=np.float64)
+        for vid, emb in zip(mut["vec_id"].to_pylist(), mut["embedding"].to_pylist()):
+            vecs[int(vid)] = np.asarray(emb, dtype=np.float64)
+
+        def cos(x, y):
+            nx, ny = np.linalg.norm(x), np.linalg.norm(y)
+            return float(x @ y / max(nx * ny, 1e-12))
+
+        subset_ok = all(cos(vecs[a], vecs[b]) >= 0.9 for a, b in found)
     return pa.Table.from_pylist(
         [
             {
                 "n_planted": int(n_planted),
                 "planted_recall_x100": int(round(100 * planted_found / max(n_planted, 1))),
-                "pairs_subset_of_exact": bool(found <= exact_pairs),
+                "pairs_subset_of_exact": bool(subset_ok),
             }
         ]
     )
@@ -2026,20 +2054,22 @@ def media_features(sf_dir: str):
             }
         )
 
-    decoded = (
+    # ONE asset-dedup shuffle serves BOTH real-codec branches (PNG and
+    # WAV) — materialized so the second branch reuses the blocks
+    uniq_assets = (
         spans.map_batches(media_spans_of, batch_format="pyarrow")
         .groupby(["asset_id", "kind"])
         .count()
         .drop_columns(["count()"])
-        .map_batches(attach_png, batch_format="pyarrow")
-        .map_batches(
-            MediaFeatureExtractor,
-            fn_constructor_kwargs={"decoder": "png"},
-            batch_size=64,
-            batch_format="pyarrow",
-            concurrency=2,
-            max_restarts=0,
-        )
+        .materialize()
+    )
+    decoded = uniq_assets.map_batches(attach_png, batch_format="pyarrow").map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"decoder": "png"},
+        batch_size=64,
+        batch_format="pyarrow",
+        concurrency=2,
+        max_restarts=0,
     )
 
     def check_batch(t: pa.Table) -> pa.Table:
@@ -2086,20 +2116,13 @@ def media_features(sf_dir: str):
             }
         )
 
-    wav_decoded = (
-        spans.map_batches(media_spans_of, batch_format="pyarrow")
-        .groupby(["asset_id", "kind"])
-        .count()
-        .drop_columns(["count()"])
-        .map_batches(attach_wav, batch_format="pyarrow")
-        .map_batches(
-            MediaFeatureExtractor,
-            fn_constructor_kwargs={"decoder": "wav"},
-            batch_size=64,
-            batch_format="pyarrow",
-            concurrency=2,
-            max_restarts=0,
-        )
+    wav_decoded = uniq_assets.map_batches(attach_wav, batch_format="pyarrow").map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"decoder": "wav"},
+        batch_size=64,
+        batch_format="pyarrow",
+        concurrency=2,
+        max_restarts=0,
     )
 
     def wav_check_batch(t: pa.Table) -> pa.Table:

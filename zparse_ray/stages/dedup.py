@@ -291,6 +291,7 @@ def connected_components(edges_ds, *, max_rounds: int = 50, n_buckets: int | Non
     if labels.count() == 0:
         return labels
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         prop = bucketed_shuffle_join(
             edges, labels, left_on="src", right_on="node",
@@ -309,8 +310,17 @@ def connected_components(edges_ds, *, max_rounds: int = 50, n_buckets: int | Non
         )
         s = labels.sum("component")
         if s == prev_sum:  # min-labels are monotone non-increasing
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # round exhaustion must not pass for convergence: the labels are
+        # WRONG (components still split) — a chain-shaped component with
+        # diameter > max_rounds needs more rounds
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} rounds "
+            f"(component diameter exceeds it) — raise max_rounds"
+        )
     return labels
 
 

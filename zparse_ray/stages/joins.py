@@ -313,12 +313,21 @@ def broadcast_lookup_join(ds, small: pa.Table, *, left_on: str, right_on: str):
     left rows drop; the dimension key column is not carried.
 
     Contract: ``small[right_on]`` has unique, non-null keys (a
-    dimension's primary key). The small side must fit in the object
-    store — past that, use bucketed_shuffle_join."""
+    dimension's primary key) — both are ENFORCED here, because
+    ``index_in`` would silently take the first match and drop join
+    multiplicity for a duplicated key. The small side must fit in the
+    object store — past that, use bucketed_shuffle_join."""
+    import pyarrow.compute as pc
     import ray
 
     if small[right_on].null_count:
         raise ValueError(f"{right_on}: dimension key contains nulls")
+    n_uniq = len(pc.unique(small[right_on].combine_chunks()))
+    if n_uniq != small.num_rows:
+        raise ValueError(
+            f"{right_on}: dimension key is not unique "
+            f"({small.num_rows - n_uniq} duplicate rows)"
+        )
     keys = small[right_on].combine_chunks()
     vals = small.drop_columns([right_on]).combine_chunks()
     ref = ray.put((keys, vals))

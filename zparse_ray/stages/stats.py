@@ -474,6 +474,8 @@ def grouped_topk(ds, *, group_col: str, order_col: str, k: int,
     A hot group never materializes — it streams through as k-sized
     partials (k x n_blocks rows at the merge, independent of group row
     count). Ties break deterministically on ``tie_cols`` (ascending).
+    Null group keys form their own group (SQL ROW_NUMBER PARTITION BY
+    semantics — pandas' default dropna would silently drop them).
 
     Returns a Dataset with the input columns, k rows per group.
     """
@@ -486,7 +488,7 @@ def grouped_topk(ds, *, group_col: str, order_col: str, k: int,
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return (
             df.sort_values(by, ascending=asc, kind="mergesort")
-            .groupby(group_col, sort=False)
+            .groupby(group_col, sort=False, dropna=False)
             .head(k)
         )
 

@@ -17,13 +17,18 @@ import pyarrow as pa
 
 # token = word chars incl. apostrophes, or a single non-space symbol —
 # a BPE-ish pre-tokenizer split (public GPT-2 pretokenizer flavor).
-# re.ASCII pins \s/\S/\d to the ASCII classes DuckDB's RE2 oracle uses
-# (Python's default Unicode classes would also match U+00A0 etc. and
-# silently break cross-engine parity on non-ASCII corpora); the
-# explicit À-ɏ ranges keep matching accented letters either way
-_BPEISH = re.compile(r"[A-Za-zÀ-ɏ]+(?:'[a-z]+)?|\d+|[^\sA-Za-zÀ-ɏ\d]", re.ASCII)
-_WS = re.compile(r"\s+", re.ASCII)
-_NONWS = re.compile(r"\S+", re.ASCII)
+# Whitespace is the EXPLICIT RE2 class [\t\n\f\r ] so these patterns
+# match DuckDB's RE2 oracle exactly: Python's \s (even with re.ASCII)
+# also matches U+000B vertical tab, and the default Unicode classes
+# additionally match U+00A0 etc. — either silently breaks cross-engine
+# token-count parity. \d is safe under re.ASCII ([0-9] both engines);
+# the explicit À-ɏ ranges keep matching accented letters either way.
+_RE2_WS = "\t\n\f\r "
+_BPEISH = re.compile(
+    rf"[A-Za-zÀ-ɏ]+(?:'[a-z]+)?|\d+|[^{_RE2_WS}A-Za-zÀ-ɏ\d]", re.ASCII
+)
+_WS = re.compile(f"[{_RE2_WS}]+")
+_NONWS = re.compile(f"[^{_RE2_WS}]+")
 
 # tiny per-language stopword/character profiles for the n-gram heuristic
 _LANG_PROFILES = {
