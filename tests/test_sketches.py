@@ -120,3 +120,27 @@ def test_count_min_sketch_properties():
     w = CountMinSketch()
     w.add(uniq.astype(object), true.astype(np.int64))
     assert (w.estimate(uniq.astype(object)) == est).all()
+
+
+def test_grouped_hll_partials_merge_close_to_exact():
+    import numpy as np
+    import pyarrow as pa
+
+    from zparse_ray.stages.stats import GroupedHllPartial, merge_grouped_hlls
+
+    rng = np.random.default_rng(29)
+    n = 30_000
+    groups = rng.choice(["a", "b", "c"], n)
+    vals = rng.integers(0, 5_000, n)
+    stage = GroupedHllPartial("g", "v")
+    rows = []
+    # several batches so the per-group tree merge is exercised
+    for lo in range(0, n, 7_000):
+        b = pa.table({"g": pa.array(groups[lo:lo+7000]), "v": pa.array(vals[lo:lo+7000])})
+        rows.extend(stage(b).to_pylist())
+    est = merge_grouped_hlls(rows)
+    import pandas as pd
+
+    exact = pd.DataFrame({"g": groups, "v": vals}).groupby("g")["v"].nunique()
+    for g in ("a", "b", "c"):
+        assert abs(est[g] - exact[g]) / exact[g] <= 0.02, (g, est[g], exact[g])

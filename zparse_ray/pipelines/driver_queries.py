@@ -12,7 +12,7 @@ Scale notes are inline per query: broadcast joins for small sides,
 partial aggregation before shuffles, partial-set unions for
 low-cardinality distincts, sketches for the approximate variants.
 
-48 of 57 queries carry oracle SQL. Four approximate operators are
+49 of 58 queries carry oracle SQL. Four approximate operators are
 oracle-checked via the TRUE-boolean pattern (the hll_within_2pct
 precedent): the output carries SQL-reproducible exact facets plus
 hash-gated accuracy booleans computed against the exact green
@@ -669,6 +669,45 @@ SELECT 'o_custkey' AS column_name,
        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
        TRUE AS hll_within_2pct
 FROM orders
+"""
+
+
+def hll_users_by_type(sf_dir: str):
+    """GROUPED approximate distinct: HLL distinct-user estimate per
+    event_type (the grouped counterpart of hll_cardinality; the exact
+    counterpart is events_per_type's two-level groupby). Scale shape:
+    one serialized HLL per (batch, group) — O(blocks x groups) sketch
+    rows to the driver, the (type, user) stream never shuffles.
+    ORACLE-CHECKED via the TRUE-boolean pattern: exact per-group
+    distinct counts are SQL-real; the HLL estimate must land within 2%
+    of each."""
+    from ..stages.stats import GroupedHllPartial, merge_grouped_hlls
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    rows = ds.map_batches(
+        GroupedHllPartial("event_type", "user_id"), batch_format="pyarrow", concurrency=2
+    ).take_all()
+    est = merge_grouped_hlls(rows)
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in events_per_type(sf_dir).select(["event_type", "n_users"]).to_pylist()
+    }
+    return pa.Table.from_pylist(
+        [
+            {
+                "event_type": g,
+                "n_users": int(exact[g]),
+                "hll_within_2pct": bool(abs(est[g] - exact[g]) / max(exact[g], 1) <= 0.02),
+            }
+            for g in sorted(exact)
+        ]
+    )
+
+
+_HLL_BY_TYPE_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS hll_within_2pct
+FROM events GROUP BY event_type
 """
 
 
@@ -2940,7 +2979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     queries can only ever drop rows-only entries — never an
     oracle-backed one."""
     return {
-        # --- oracle-backed (48) ---
+        # --- oracle-backed (49) ---
         "q1_pricing_summary": q1_pricing_summary,
         "orders_status_priority": orders_status_priority,
         "top_customers": top_customers,
@@ -2960,6 +2999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minmax_mean": minmax_mean,
         "distinct_counts": distinct_counts,
         "hll_cardinality": hll_cardinality,
+        "hll_users_by_type": hll_users_by_type,
         "tdigest_quantiles": tdigest_quantiles,
         "events_props_extract": events_props_extract,
         "events_daily_counts": events_daily_counts,
@@ -3049,6 +3089,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_components": _COMPONENTS_SQL,
         "customer_order_count_hist": _LEFTJOIN_SQL,
         "top_docs_per_lang": _TOPPERLANG_SQL,
+        "hll_users_by_type": _HLL_BY_TYPE_SQL,
         "top_tokens_cms": _CMS_SQL,
         "ann_ivf_topk": _IVF_SQL,
         "tdigest_quantiles_by_type": _TDIGEST_GROUPQ_SQL,

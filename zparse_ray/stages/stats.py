@@ -86,6 +86,51 @@ def merge_hlls(rows: list[dict]) -> dict[str, float]:
     return {c: h.estimate() for c, h in merged.items()}
 
 
+class GroupedHllPartial:
+    """map_batches stage: one serialized HLL PER GROUP per batch — the
+    grouped counterpart of HllPartial (distinct-cardinality per key at
+    sketch cost). Scale shape: O(blocks x groups) tiny (group, hll)
+    rows reach the merge; the value stream itself never shuffles —
+    unlike an exact two-level groupby, whose first level moves every
+    (group, value) pair."""
+
+    def __init__(self, group_col: str, value_col: str, p: int = 14):
+        self.group_col = group_col
+        self.value_col = value_col
+        self.p = p
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "g": batch[self.group_col].to_numpy(zero_copy_only=False),
+                "v": batch[self.value_col].to_numpy(zero_copy_only=False),
+            }
+        ).dropna()
+        groups, blobs = [], []
+        for g, part in df.groupby("g", sort=False):
+            h = HyperLogLog(self.p)
+            arr = part["v"].to_numpy()
+            if arr.dtype.kind not in ("i", "u"):
+                arr = arr.astype(object)
+            h.add(arr)
+            groups.append(g)
+            blobs.append(h.to_bytes())
+        return pa.table(
+            {"g": pa.array(groups, pa.string()), "hll": pa.array(blobs, pa.binary())}
+        )
+
+
+def merge_grouped_hlls(rows: list[dict]) -> dict[str, float]:
+    """Tree-merge (group, hll) partial rows → per-group estimates."""
+    merged: dict[str, HyperLogLog] = {}
+    for r in rows:
+        h = HyperLogLog.from_bytes(r["hll"])
+        merged[r["g"]] = merged[r["g"]].merge(h) if r["g"] in merged else h
+    return {g: h.estimate() for g, h in merged.items()}
+
+
 class TDigestPartial:
     """map_batches stage: one serialized t-digest per batch per column."""
 
