@@ -417,6 +417,19 @@ def test_dedup_corpus_exact_and_minhash(ray_session, tmp_path):
     kept = set(pq.read_table(out1)["doc_id"].to_pylist())
     assert kept == set(range(40)) | {205, 206, 207, 208, 209}
 
+    # JSONL input routes through the format-dispatched reader and must
+    # produce the same exact-mode survivors
+    jsrc = str(tmp_path / "docs.jsonl")
+    with open(jsrc, "w") as f:
+        import json as _json
+
+        for did, tx in zip(ids, texts):
+            f.write(_json.dumps({"doc_id": int(did), "text": tx}) + "\n")
+    outj = str(tmp_path / "dedup_jsonl")
+    stats_j = dedup_corpus(jsrc, outj, mode="exact")
+    assert stats_j["n_docs_in"] == 50 and stats_j["n_dropped"] == 5
+    assert set(pq.read_table(outj)["doc_id"].to_pylist()) == kept
+
     out2 = str(tmp_path / "dedup_minhash")
     stats2 = dedup_corpus(src, out2, mode="minhash", threshold=0.5)
     kept2 = set(pq.read_table(out2)["doc_id"].to_pylist())

@@ -39,6 +39,21 @@ import pyarrow.compute as pc
 logger = logging.getLogger("zparse_ray.dedup_corpus")
 
 
+def read_documents(input_path: str):
+    """Format-dispatched corpus reader (S1's extension sniff applied to
+    the table layer): parquet (default), JSONL (``.jsonl``/``.ndjson``
+    — one document object per line) or CSV (``.csv``). Each maps to the
+    matching Ray Data source so every format streams as blocks."""
+    import ray.data as rd
+
+    low = input_path.lower()
+    if low.endswith((".jsonl", ".ndjson")):
+        return rd.read_json(input_path)
+    if low.endswith(".csv"):
+        return rd.read_csv(input_path)
+    return rd.read_parquet(input_path)
+
+
 def _keep_ids_exact(docs, id_column: str, text_column: str):
     """Winner (minimum) id per identical normalized text — returns a
     Dataset[(keep_id,)]. Only (hash, id) rows shuffle."""
@@ -157,7 +172,7 @@ def dedup_corpus(
         raise ValueError(f"unknown dedup mode: {mode!r}")
     if os.path.isdir(out_dir) and os.listdir(out_dir):
         raise ValueError(f"out_dir {out_dir!r} is not empty — refusing to mix runs")
-    docs = rd.read_parquet(input_path)
+    docs = read_documents(input_path)
     n_in = docs.count()
 
     if mode == "exact":
