@@ -960,7 +960,7 @@ FROM documents GROUP BY lang
 
 
 def bpeish_token_counts(sf_dir: str):
-    """BPE-ish pre-token counting per lang (the GPT-2-pretokenizer-
+    r"""BPE-ish pre-token counting per lang (the GPT-2-pretokenizer-
     flavored regex, compiled once per actor in BpeishTokenCounter) —
     oracle-checked against DuckDB's RE2 with the same pattern. Parity
     caveat: both engines use leftmost-first alternation, but Python's
