@@ -907,6 +907,36 @@ def test_bucketed_shuffle_left_join_null_marks(ray_session):
     assert sorted(k for k, _ in rows) == [1, 1, 2, 3, 4]
 
 
+def test_bucketed_shuffle_join_outer_coalesces_key(ray_session):
+    """how='outer' with DIFFERENT key names: right-only rows carry the
+    key only in right_on — the helper must coalesce it into left_on
+    before dropping, or those rows come back keyless."""
+    import pandas as pd
+    import ray.data as rd
+
+    from zparse_ray.stages.joins import bucketed_shuffle_join
+
+    left = pd.DataFrame(
+        {"k": np.array([1, 2, 3], np.int64), "lv": np.array([10, 20, 30], np.int64)}
+    )
+    right = pd.DataFrame(
+        {"rk": np.array([2, 3, 4, 5], np.int64), "rv": np.array([-2, -3, -4, -5], np.int64)}
+    )
+    out = bucketed_shuffle_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        left_on="k", right_on="rk", n_buckets=2, how="outer",
+    )
+    rows = {}
+    for r in out.take_all():
+        assert r["k"] is not None and not np.isnan(r["k"])
+        rows[int(r["k"])] = (r["lv"], r["rv"])
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert rows[1][1] is None or np.isnan(rows[1][1])  # left-only
+    assert int(rows[2][0]) == 20 and int(rows[2][1]) == -2  # matched
+    assert rows[4][0] is None or np.isnan(rows[4][0])  # right-only kept its key
+    assert int(rows[5][1]) == -5
+
+
 def test_connected_components_raises_on_round_exhaustion(ray_session):
     import pandas as pd
     import ray.data as rd

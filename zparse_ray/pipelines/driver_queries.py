@@ -12,7 +12,7 @@ Scale notes are inline per query: broadcast joins for small sides,
 partial aggregation before shuffles, partial-set unions for
 low-cardinality distincts, sketches for the approximate variants.
 
-49 of 58 queries carry oracle SQL. Four approximate operators are
+50 of 59 queries carry oracle SQL. Four approximate operators are
 oracle-checked via the TRUE-boolean pattern (the hll_within_2pct
 precedent): the output carries SQL-reproducible exact facets plus
 hash-gated accuracy booleans computed against the exact green
@@ -412,6 +412,81 @@ WITH per_cust AS (
 SELECT CAST(n_orders AS BIGINT) AS n_orders,
        CAST(COUNT(*) AS BIGINT) AS n_customers
 FROM per_cust GROUP BY n_orders
+"""
+
+
+def activity_reconciliation(sf_dir: str):
+    """FULL OUTER join at shuffle scale (the one join flavor the left/
+    semi/anti/asof/range family didn't cover): reconcile purchase
+    activity (per-user event counts) against the positive-balance
+    customer cohort — rows survive from BOTH unmatched sides
+    (purchase-users whose customer record is non-positive, and
+    positive-balance customers who never purchased). Same one-shuffle
+    bucketed co-location as the left join; the outer merge coalesces
+    the key so right-only rows keep theirs. Nulls are sentinel-filled
+    (0 / -1) on both engines so the compare stays dtype-strict int64.
+    Oracle-checked."""
+    from ray.data.aggregate import Count
+
+    from ..stages.joins import bucketed_shuffle_join
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def only_purchases(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["event_type"], "purchase")).select(["user_id"])
+
+    purchases = (
+        ev.map_batches(only_purchases, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_purchases"))
+    )
+    import pyarrow.dataset as pads
+
+    cust = _read(
+        sf_dir,
+        "customer",
+        ["c_custkey", "c_acctbal"],
+        row_filter=(pads.field("c_acctbal") > 0),
+    )
+    est = pq.ParquetFile(os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
+    joined = bucketed_shuffle_join(
+        purchases, cust, left_on="user_id", right_on="c_custkey",
+        est_rows=est, how="outer",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        has_e = pc.is_valid(t["n_purchases"])
+        has_c = pc.is_valid(t["c_acctbal"])
+        side = pc.if_else(
+            pc.and_(has_e, has_c),
+            pa.scalar("both"),
+            pc.if_else(has_e, pa.scalar("events_only"), pa.scalar("customers_only")),
+        )
+        cents = pc.floor(pc.add(pc.multiply(t["c_acctbal"], 100.0), 0.5))
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "n_purchases": pc.fill_null(pc.cast(t["n_purchases"], pa.int64()), 0),
+                "acctbal_cents": pc.fill_null(pc.cast(cents, pa.int64()), -1),
+                "side": side,
+            }
+        )
+
+    out = joined.map_batches(finish, batch_format="pyarrow")
+    return pa.Table.from_pylist(out.take_all())
+
+
+_FULLOUTER_SQL = """
+WITH e AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+     c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 0)
+SELECT CAST(COALESCE(e.user_id, c.c_custkey) AS BIGINT) AS user_id,
+       CAST(COALESCE(e.n_purchases, 0) AS BIGINT) AS n_purchases,
+       COALESCE(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT), -1) AS acctbal_cents,
+       CASE WHEN e.user_id IS NOT NULL AND c.c_custkey IS NOT NULL THEN 'both'
+            WHEN c.c_custkey IS NULL THEN 'events_only'
+            ELSE 'customers_only' END AS side
+FROM e FULL OUTER JOIN c ON e.user_id = c.c_custkey
 """
 
 
@@ -2979,7 +3054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     queries can only ever drop rows-only entries — never an
     oracle-backed one."""
     return {
-        # --- oracle-backed (49) ---
+        # --- oracle-backed (50) ---
         "q1_pricing_summary": q1_pricing_summary,
         "orders_status_priority": orders_status_priority,
         "top_customers": top_customers,
@@ -2994,6 +3069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": events_range_join,
         "part_semi_anti_join": part_semi_anti_join,
         "customer_order_count_hist": customer_order_count_hist,
+        "activity_reconciliation": activity_reconciliation,
         "events_user_gaps": events_user_gaps,
         "null_type_hist": null_type_hist,
         "minmax_mean": minmax_mean,
@@ -3088,6 +3164,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": _NEARDUP_LSH_SQL,
         "neardup_components": _COMPONENTS_SQL,
         "customer_order_count_hist": _LEFTJOIN_SQL,
+        "activity_reconciliation": _FULLOUTER_SQL,
         "top_docs_per_lang": _TOPPERLANG_SQL,
         "hll_users_by_type": _HLL_BY_TYPE_SQL,
         "top_tokens_cms": _CMS_SQL,

@@ -130,8 +130,12 @@ def bucketed_shuffle_join(
         rf = t.filter(pc.invert(lmask)).select(right_cols).to_pandas()
         m = lf.merge(rf, left_on=left_on, right_on=right_on, how=how)
         if right_on != left_on and right_on in m.columns:
+            if how in ("outer", "right"):
+                # right-only rows carry the key only in right_on —
+                # coalesce before dropping or those rows lose their key
+                m[left_on] = m[left_on].fillna(m[right_on])
             m = m.drop(columns=[right_on])
-        return pa.Table.from_pandas(m, preserve_index=False)
+        return pa.Table.from_pandas(m, preserve_index=False).replace_schema_metadata(None)
 
     return u.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
@@ -358,7 +362,7 @@ def broadcast_join(ds, small_df: pd.DataFrame, *, left_on: str, right_on: str, h
         m = df.merge(ray.get(ref), left_on=left_on, right_on=right_on, how=how)
         if right_on != left_on and right_on in m.columns:
             m = m.drop(columns=[right_on])
-        return pa.Table.from_pandas(m, preserve_index=False)
+        return pa.Table.from_pandas(m, preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(f, batch_format="pyarrow")
 
