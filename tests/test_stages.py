@@ -907,6 +907,33 @@ def test_bucketed_shuffle_left_join_null_marks(ray_session):
     assert sorted(k for k, _ in rows) == [1, 1, 2, 3, 4]
 
 
+def test_global_running_sum_matches_numpy_cumsum(ray_session):
+    """Two-phase parallel scan == single-process cumsum in key order,
+    across many blocks and buckets, with non-dense shuffled keys."""
+    import pandas as pd
+    import ray.data as rd
+
+    from zparse_ray.stages.scan import global_running_sum
+
+    rng = np.random.default_rng(31)
+    keys = rng.permutation(np.arange(0, 6000, 3, dtype=np.int64))  # sparse, shuffled
+    vals = rng.integers(0, 100, len(keys)).astype(np.int64)
+    df = pd.DataFrame({"k": keys, "v": vals})
+
+    def make_kv():
+        return rd.from_pandas(df, override_num_blocks=7)
+
+    out = global_running_sum(
+        make_kv, key_col="k", value_col="v",
+        key_lo=0, key_hi=int(keys.max()), n_buckets=16,
+    )
+    got = pd.DataFrame(out.take_all()).sort_values("k").reset_index(drop=True)
+    want = df.sort_values("k").reset_index(drop=True)
+    want["run"] = want["v"].cumsum()
+    assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
+    assert (got["run"].to_numpy() == want["run"].to_numpy()).all()
+
+
 def test_bucketed_shuffle_join_outer_coalesces_key(ray_session):
     """how='outer' with DIFFERENT key names: right-only rows carry the
     key only in right_on — the helper must coalesce it into left_on

@@ -12,7 +12,7 @@ Scale notes are inline per query: broadcast joins for small sides,
 partial aggregation before shuffles, partial-set unions for
 low-cardinality distincts, sketches for the approximate variants.
 
-50 of 59 queries carry oracle SQL. Four approximate operators are
+51 of 60 queries carry oracle SQL. Four approximate operators are
 oracle-checked via the TRUE-boolean pattern (the hll_within_2pct
 precedent): the output carries SQL-reproducible exact facets plus
 hash-gated accuracy booleans computed against the exact green
@@ -1031,6 +1031,94 @@ SELECT lang,
                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
        COUNT(*) AS n_docs
 FROM documents GROUP BY lang
+"""
+
+
+def token_budget_shards(sf_dir: str):
+    """Deterministic token-budget sharding (the assignment step of
+    sequence packing for training runs): every document is assigned the
+    shard whose token-offset window contains its START offset —
+    shard_id = floor(tokens_before_it / budget) over the GLOBAL doc_id
+    order, then per-shard size facets. Needs a GLOBAL ordered prefix
+    sum, which the per-group window family can't express — implemented
+    by stages/scan.py::global_running_sum (two-phase parallel scan:
+    range-bucketed partial sums -> driver prefix of O(n_buckets)
+    totals -> per-bucket local cumsum + broadcast offset). doc_id
+    bounds come from parquet row-group statistics (free metadata, no
+    extra pass). Oracle-checked against DuckDB's SUM() OVER (ORDER BY
+    doc_id)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..stages.scan import global_running_sum
+    from ..stages.textops import token_count_batch
+
+    budget = 2048
+    md = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        for ci in range(md.row_group(rg).num_columns):
+            col = md.row_group(rg).column(ci)
+            if col.path_in_schema == "doc_id" and col.statistics is not None:
+                lo = col.statistics.min if lo is None else min(lo, col.statistics.min)
+                hi = col.statistics.max if hi is None else max(hi, col.statistics.max)
+    if lo is None:
+        lo, hi = 0, max(md.num_rows - 1, 0)
+
+    def make_kv():
+        def tok(t: pa.Table) -> pa.Table:
+            return token_count_batch(t).select(["doc_id", "n_tokens"])
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            tok, batch_format="pyarrow"
+        )
+
+    run = global_running_sum(
+        make_kv, key_col="doc_id", value_col="n_tokens",
+        key_lo=int(lo), key_hi=int(hi), est_rows=md.num_rows,
+    )
+
+    def to_shard(t: pa.Table) -> pa.Table:
+        r = t["run"].to_numpy(zero_copy_only=False)
+        tok = t["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard_id": pa.array((r - tok) // budget, pa.int64()),
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+            }
+        )
+
+    out = (
+        run.map_batches(to_shard, batch_format="pyarrow")
+        .groupby("shard_id")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="total_tokens"),
+            Min("doc_id", alias_name="first_doc"),
+            Max("doc_id", alias_name="last_doc"),
+        )
+    )
+    t = pa.Table.from_pylist(out.take_all())
+    cols = ["shard_id", "n_docs", "total_tokens", "first_doc", "last_doc"]
+    return pa.table({c: pc.cast(t[c], pa.int64()) for c in cols})
+
+
+_SHARDS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok
+  FROM documents),
+s AS (
+  SELECT doc_id, tok,
+         SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run
+  FROM t)
+SELECT CAST((run - tok) // 2048 AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM s GROUP BY shard_id
 """
 
 
@@ -3054,7 +3142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     queries can only ever drop rows-only entries — never an
     oracle-backed one."""
     return {
-        # --- oracle-backed (50) ---
+        # --- oracle-backed (51) ---
         "q1_pricing_summary": q1_pricing_summary,
         "orders_status_priority": orders_status_priority,
         "top_customers": top_customers,
@@ -3070,6 +3158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_semi_anti_join": part_semi_anti_join,
         "customer_order_count_hist": customer_order_count_hist,
         "activity_reconciliation": activity_reconciliation,
+        "token_budget_shards": token_budget_shards,
         "events_user_gaps": events_user_gaps,
         "null_type_hist": null_type_hist,
         "minmax_mean": minmax_mean,
@@ -3165,6 +3254,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_components": _COMPONENTS_SQL,
         "customer_order_count_hist": _LEFTJOIN_SQL,
         "activity_reconciliation": _FULLOUTER_SQL,
+        "token_budget_shards": _SHARDS_SQL,
         "top_docs_per_lang": _TOPPERLANG_SQL,
         "hll_users_by_type": _HLL_BY_TYPE_SQL,
         "top_tokens_cms": _CMS_SQL,
