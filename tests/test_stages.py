@@ -907,6 +907,18 @@ def test_bucketed_shuffle_left_join_null_marks(ray_session):
     assert sorted(k for k, _ in rows) == [1, 1, 2, 3, 4]
 
 
+def test_range_bucket_monotone_no_overflow():
+    """Width-based range bucketing must stay monotone and in-range on a
+    2^60-wide key span (multiply-then-divide would overflow int64)."""
+    from zparse_ray.stages.scan import _range_bucket
+
+    lo, hi = -(2**59), 2**59
+    keys = np.array([lo, lo + 1, -17, 0, 2**40, hi - 1, hi], np.int64)
+    b = _range_bucket(keys, lo, hi, 4096)
+    assert (np.diff(b) >= 0).all()
+    assert b[0] == 0 and 0 <= b[-1] <= 4096
+
+
 def test_global_running_sum_matches_numpy_cumsum(ray_session):
     """Two-phase parallel scan == single-process cumsum in key order,
     across many blocks and buckets, with non-dense shuffled keys."""

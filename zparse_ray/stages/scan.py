@@ -37,8 +37,11 @@ from .joins import _warn_if_hot, resolve_n_buckets
 
 
 def _range_bucket(keys: np.ndarray, lo: int, hi: int, n_buckets: int) -> np.ndarray:
+    # width-based (not multiply-then-divide) so a 2^60-wide key span
+    # cannot overflow int64; still monotone in the key
     span = hi - lo + 1
-    return ((keys.astype(np.int64) - lo) * n_buckets // span).astype(np.int32)
+    width = max(1, -(-span // n_buckets))  # ceil
+    return ((keys.astype(np.int64) - lo) // width).astype(np.int32)
 
 
 def global_running_sum(
