@@ -52,6 +52,19 @@ def test_query_matches_oracle(ray_session, con, name):
     )
 
 
+def test_median_value_by_type_matches_oracle(ray_session, con):
+    """median_value_by_type is retired from the driver registry (it was
+    the 51st oracle-backed entry and the driver caps its CORRECTNESS
+    run at 50) — its exact-median parity is pinned here instead."""
+    from zparse_ray.pipelines import driver_queries as dq
+
+    mine = dq.median_value_by_type(SF_DIR).to_pandas()
+    oracle = con.execute(dq._MEDIAN_SQL).df()
+    pd.testing.assert_frame_equal(
+        canon(mine), canon(oracle), check_dtype=False, rtol=0, atol=1e-9
+    )
+
+
 def test_registry_consistency():
     from zparse_ray.pipelines import driver_queries as dq
 
