@@ -65,6 +65,30 @@ def test_median_value_by_type_matches_oracle(ray_session, con):
     )
 
 
+@pytest.mark.parametrize("name,sql_attr", [
+    ("orders_status_priority", "_ORDERS_SQL"),
+    ("events_daily_counts", "_DAILY_SQL"),
+])
+def test_retired_registry_queries_match_oracle(ray_session, con, name, sql_attr):
+    """orders_status_priority / events_daily_counts were retired from
+    the 50-slot driver registry in favor of repetition_stats /
+    decontam_exact (their keyed count+sum machinery stays
+    driver-checked via q1_pricing_summary / events_per_type) — their
+    oracle parity is pinned here instead, per the
+    median_value_by_type precedent."""
+    from zparse_ray.pipelines import driver_queries as dq
+
+    mine = getattr(dq, name)(SF_DIR)
+    if isinstance(mine, pa.Table):
+        mine = mine.to_pandas()
+    elif not isinstance(mine, pd.DataFrame):
+        mine = pd.DataFrame(mine.take_all())
+    oracle = con.execute(getattr(dq, sql_attr)).df()
+    pd.testing.assert_frame_equal(
+        canon(mine), canon(oracle), check_dtype=False, rtol=0, atol=1e-9
+    )
+
+
 def test_registry_consistency():
     from zparse_ray.pipelines import driver_queries as dq
 

@@ -990,3 +990,71 @@ def test_connected_components_raises_on_round_exhaustion(ray_session):
     # enough rounds: one component labeled 0
     out = connected_components(rd.from_pandas(chain), max_rounds=8, n_buckets=2)
     assert {r["component"] for r in out.take_all()} == {0}
+
+
+def test_repetition_batch_matches_per_row_reference():
+    from zparse_ray.stages.textops import repetition_batch
+
+    texts = [
+        "a a a b",            # dup 0.5, top 0.75
+        "x y z",              # dup 0, top 1/3
+        "w  w",               # space run -> empty token dropped
+        "",                   # zero words -> row dropped
+        "   ",
+        "solo",
+    ]
+    out = repetition_batch(_doc_batch(texts))
+    by_id = {
+        i: (d, t)
+        for i, d, t in zip(
+            out["doc_id"].to_pylist(),
+            out["dup_word_frac"].to_pylist(),
+            out["top_word_frac"].to_pylist(),
+        )
+    }
+    # brute-force per-row reference over the same split semantics
+    expect = {}
+    for i, txt in enumerate(texts):
+        words = [w for w in txt.split(" ") if w]
+        if not words:
+            continue
+        counts = {}
+        for w in words:
+            counts[w] = counts.get(w, 0) + 1
+        total = len(words)
+        expect[i] = (1.0 - len(counts) / total, max(counts.values()) / total)
+    assert set(by_id) == set(expect)
+    for i in expect:
+        assert by_id[i][0] == pytest.approx(expect[i][0])
+        assert by_id[i][1] == pytest.approx(expect[i][1])
+
+
+def test_snippet_matcher_counts_distinct_snippets():
+    from zparse_ray.stages.decontam import SnippetMatcher
+
+    m = SnippetMatcher(["needle", "pin", "needle"])  # dup must not double-count
+    out = m(
+        _doc_batch(
+            [
+                "a needle in a haystack",
+                "pin and needle and pin again",
+                "nothing here",
+                None,
+            ]
+        )
+    )
+    assert out["n_hits"].to_pylist() == [1, 2, 0, 0]
+
+
+def test_mark_contaminated_streams_hits_only(ray_session):
+    import ray.data as rd
+
+    from zparse_ray.stages.decontam import mark_contaminated
+
+    texts = ["clean doc one", "contains BADSNIP here", "also BADSNIP and OTHERSNIP", "clean"]
+    ds = rd.from_arrow(_doc_batch(texts))
+    rows = sorted(
+        (r["doc_id"], r["n_hits"])
+        for r in mark_contaminated(ds, ["BADSNIP", "OTHERSNIP"], concurrency=1).take_all()
+    )
+    assert rows == [(1, 1), (2, 2)]

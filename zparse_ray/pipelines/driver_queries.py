@@ -19,6 +19,12 @@ retired from the registry for this: it was hash-green in r3, its
 grouped_exact_ranks machinery stays driver-checked via
 quantiles_by_type, and its exact-median semantics stay DuckDB-checked
 in tests/test_queries.py::test_median_value_by_type_matches_oracle.
+orders_status_priority and events_daily_counts were likewise retired
+(r3 hash-green; plain keyed count+sum machinery stays driver-checked
+via q1_pricing_summary / events_per_type; oracle parity pinned in
+tests/test_queries.py::test_retired_registry_queries_match_oracle) to
+free two oracle-backed slots for the LLM-pipeline operators
+repetition_stats and decontam_exact.
 Four approximate operators are
 oracle-checked via the TRUE-boolean pattern (the hll_within_2pct
 precedent): the output carries SQL-reproducible exact facets plus
@@ -1353,6 +1359,101 @@ _QUALITY_SQL = """
 SELECT source, COUNT(*) AS n_docs, CAST(FLOOR(AVG(n_chars) * 10000 + 0.5) AS BIGINT) AS avg_chars,
        CAST(SUM(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
 FROM documents GROUP BY source
+"""
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals aggregated per lang:
+    avg duplicate-word fraction and avg top-word fraction (the
+    MassiveText repetition filters). Scale shape: pure per-batch map
+    (stages/textops.py::repetition_batch, explode + grouped reductions,
+    no Python row loop) + a 5-group keyed aggregate — only (lang,
+    partial sums) shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.textops import repetition_batch
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    out = (
+        ds.map_batches(repetition_batch, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("dup_word_frac", alias_name="_sum_dup"),
+            Sum("top_word_frac", alias_name="_sum_top"),
+        )
+    )
+    t = pa.Table.from_pylist(out.take_all()).to_pandas()
+    n = t["n_docs"].to_numpy(dtype=np.float64)
+    t["avg_dup_word_frac"] = np.floor(
+        t["_sum_dup"].to_numpy() / n * 10_000 + 0.5
+    ).astype(np.int64)
+    t["avg_top_word_frac"] = np.floor(
+        t["_sum_top"].to_numpy() / n * 10_000 + 0.5
+    ).astype(np.int64)
+    return pa.Table.from_pandas(
+        t[["lang", "n_docs", "avg_dup_word_frac", "avg_top_word_frac"]],
+        preserve_index=False,
+    )
+
+
+_REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS word FROM documents
+), c AS (
+  SELECT doc_id, lang, word, COUNT(*) AS n FROM w WHERE word <> ''
+  GROUP BY doc_id, lang, word
+), a AS (
+  SELECT doc_id, lang, SUM(n) AS total, COUNT(*) AS n_distinct, MAX(n) AS top_n
+  FROM c GROUP BY doc_id, lang
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(FLOOR(AVG(1.0 - n_distinct * 1.0 / total) * 10000 + 0.5) AS BIGINT)
+         AS avg_dup_word_frac,
+       CAST(FLOOR(AVG(top_n * 1.0 / total) * 10000 + 0.5) AS BIGINT)
+         AS avg_top_word_frac
+FROM a GROUP BY lang
+"""
+
+
+_DECONTAM_IDS = (3, 17, 29, 41, 47)
+
+
+def decontam_exact(sf_dir: str):
+    """Benchmark decontamination (exact-substring flavor): the snippet
+    set is 12-char excerpts of five fixed "benchmark" documents; every
+    training doc containing >= 1 snippet is reported with its hit
+    count. Scale shape: the benchmark pull is BOUNDED (an id-list
+    filter pushed into the parquet read, |ids| rows on the driver —
+    never a full-table pull); the corpus scan is a broadcast-snippet
+    per-batch vectorized match with NO shuffle
+    (stages/decontam.py::mark_contaminated)."""
+    import pyarrow.dataset as pds
+
+    from ..stages.decontam import mark_contaminated
+
+    bench = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=pds.field("doc_id").isin(list(_DECONTAM_IDS)),
+    )
+    snippets = sorted(
+        {t[10:22] for t in bench["text"].to_pylist() if t is not None and len(t) >= 22}
+    )
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = mark_contaminated(ds, snippets)
+    return pa.Table.from_pylist(out.take_all())
+
+
+_DECONTAM_SQL = """
+WITH s AS (
+  SELECT DISTINCT substr(text, 11, 12) AS snippet FROM documents
+  WHERE doc_id IN (3, 17, 29, 41, 47) AND length(text) >= 22
+)
+SELECT d.doc_id, COUNT(*) AS n_hits
+FROM documents d, s
+WHERE contains(d.text, s.snippet)
+GROUP BY d.doc_id
 """
 
 
@@ -3151,7 +3252,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- oracle-backed (50 — the driver's observed check cap) ---
         "q1_pricing_summary": q1_pricing_summary,
-        "orders_status_priority": orders_status_priority,
         "top_customers": top_customers,
         "region_nation_counts": region_nation_counts,
         "part_revenue_by_brand": part_revenue_by_brand,
@@ -3174,7 +3274,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_by_type": hll_users_by_type,
         "tdigest_quantiles": tdigest_quantiles,
         "events_props_extract": events_props_extract,
-        "events_daily_counts": events_daily_counts,
         "events_sessionize": events_sessionize,
         "events_per_type": events_per_type,
         "token_counts": token_counts,
@@ -3183,6 +3282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_cms": top_tokens_cms,
         "top_docs_per_lang": top_docs_per_lang,
         "quality_stats": quality_stats,
+        "repetition_stats": repetition_stats,
+        "decontam_exact": decontam_exact,
         "exact_dedup": exact_dedup,
         "ann_topk": ann_topk,
         "embedding_neardup_exact": embedding_neardup_exact,
@@ -3216,7 +3317,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": _Q1_SQL,
-        "orders_status_priority": _ORDERS_SQL,
         "top_customers": _TOPCUST_SQL,
         "region_nation_counts": _REGION_SQL,
         "part_revenue_by_brand": _BRAND_SQL,
@@ -3225,13 +3325,14 @@ def oracle_sql() -> dict[str, str]:
         "minmax_mean": _MINMAX_SQL,
         "distinct_counts": _DISTINCT_SQL,
         "events_props_extract": _PROPS_SQL,
-        "events_daily_counts": _DAILY_SQL,
         "events_sessionize": _SESSION_SQL,
         "events_per_type": _PERTYPE_SQL,
         "token_counts": _TOKENS_SQL,
         "bpeish_token_counts": _BPEISH_SQL,
         "top_tokens": _TOPTOKENS_SQL,
         "quality_stats": _QUALITY_SQL,
+        "repetition_stats": _REPETITION_SQL,
+        "decontam_exact": _DECONTAM_SQL,
         "exact_dedup": _DEDUP_SQL,
         "ann_topk": _ANN_SQL,
         "embedding_neardup_exact": _NEARDUP_SQL,

@@ -263,6 +263,35 @@ def fingerprint_batch(batch: pa.Table, column: str = "text", window: int = 16) -
     )
 
 
+def repetition_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Gopher-style word-repetition quality signals per document:
+    ``dup_word_frac`` = 1 - distinct_words/total_words and
+    ``top_word_frac`` = most_frequent_word_count/total_words, over
+    single-space-split words (exact ``string_split(text, ' ')`` oracle
+    parity; empty tokens from space runs dropped). Rows with zero words
+    are dropped — the SQL side has no word rows for them either.
+
+    Vectorized: one explode + three C-level grouped reductions over the
+    (row, word) pair counts — no Python loop over rows or words. High
+    repetition is the classic low-quality signal (Gopher/MassiveText
+    repetition filters); at 100 TB this is a pure per-batch map with no
+    shuffle."""
+    s = batch[column].to_pandas().fillna("")
+    ex = s.str.split(" ").explode()
+    ex = ex[ex.notna() & (ex != "")]
+    pairs = ex.groupby([ex.index, ex]).size()
+    total = pairs.groupby(level=0).sum()
+    idx = total.index.to_numpy(dtype=np.int64)
+    tot = total.to_numpy(dtype=np.float64)
+    n_distinct = pairs.groupby(level=0).size().to_numpy(dtype=np.float64)
+    top_n = pairs.groupby(level=0).max().to_numpy(dtype=np.float64)
+    out = batch.take(pa.array(idx, pa.int64()))
+    out = out.append_column(
+        "dup_word_frac", pa.array(1.0 - n_distinct / tot, pa.float64())
+    )
+    return out.append_column("top_word_frac", pa.array(top_n / tot, pa.float64()))
+
+
 def split_assign_batch(
     batch: pa.Table,
     *,
