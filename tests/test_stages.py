@@ -1058,3 +1058,108 @@ def test_mark_contaminated_streams_hits_only(ray_session):
         for r in mark_contaminated(ds, ["BADSNIP", "OTHERSNIP"], concurrency=1).take_all()
     )
     assert rows == [(1, 1), (2, 2)]
+
+
+def test_redact_batch_matches_duckdb_re2():
+    import duckdb
+
+    from zparse_ray.stages.redact import PII_PATTERNS, redact_batch
+
+    texts = [
+        "mail me at jo.do+spam@ex-ample.co.uk or root@10.0.0.1 now",
+        "server 192.168.001.254 rebooted; call +14155550123 today",
+        "no pii here, just 1234567 and a.b@c (not an email)",
+        "",
+        None,
+        "edge +123456 too short, +1234567 ok, 999.999.999.999 ip-ish",
+    ]
+    t = _doc_batch([x if x is not None else None for x in texts])
+    out = redact_batch(t)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT * FROM t")
+    expr = "text"
+    for _n, pat, tok in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{tok}', 'g')"
+    oracle = con.execute(f"SELECT {expr} AS red FROM d ORDER BY doc_id").df()
+    assert out["text"].to_pylist() == [
+        None if v is None or (isinstance(v, float)) else v
+        for v in oracle["red"].tolist()
+    ]
+    # counts: distinct-pattern hits, sequential semantics
+    # (root@10.0.0.1 is NOT an email — numeric TLD — so its dotted
+    # quad falls through to the ipv4 pattern)
+    row0 = out.to_pylist()[0]
+    assert (row0["n_email"], row0["n_ipv4"], row0["n_phone"]) == (1, 1, 0)
+    row1 = out.to_pylist()[1]
+    assert (row1["n_email"], row1["n_ipv4"], row1["n_phone"]) == (0, 1, 1)
+    assert out["n_redactions"].to_pylist() == [2, 2, 0, 0, 0, 2]
+
+
+def test_redact_placeholders_never_cascade():
+    from zparse_ray.stages.redact import redact_batch
+
+    # an email whose redaction must not later match ip/phone patterns
+    out = redact_batch(_doc_batch(["x 1.2.3.4@example.com +12345678 y"]))
+    assert out["text"].to_pylist() == ["x <EMAIL> <PHONE> y"]
+
+
+def test_hashed_trigram_embed_deterministic_and_normalized():
+    from zparse_ray.stages.embed import hashed_trigram_embed
+
+    texts = pa.array(["the quick brown fox", "the quick brown fox", "xy", "", None], pa.string())
+    M = hashed_trigram_embed(texts, 32)
+    assert M.shape == (5, 32)
+    np.testing.assert_array_equal(M[0], M[1])          # deterministic
+    np.testing.assert_allclose(np.linalg.norm(M[0]), 1.0)
+    np.testing.assert_allclose(np.linalg.norm(M[2]), 1.0)  # short row: whole-text bucket
+    np.testing.assert_array_equal(M[3], 0.0)           # empty -> zero vector
+    np.testing.assert_array_equal(M[4], 0.0)           # null -> zero vector
+    # batch-size invariance: same text alone embeds identically
+    alone = hashed_trigram_embed(pa.array(["the quick brown fox"]), 32)
+    np.testing.assert_array_equal(alone[0], M[0])
+
+
+def test_embedder_schema_and_model_seam():
+    from zparse_ray.stages.embed import Embedder
+
+    b = _doc_batch(["alpha beta", "gamma"])
+    out = Embedder(dim=16)(b)
+    assert out.schema.field("embedding").type == pa.list_(pa.float64())
+    assert all(len(v) == 16 for v in out["embedding"].to_pylist())
+
+    # real-model seam: factory called once, output shape enforced
+    calls = []
+
+    def factory():
+        calls.append(1)
+        return lambda texts: np.ones((len(texts), 16)) / 4.0
+
+    out2 = Embedder(dim=16, model_factory=factory)(b)
+    assert calls == [1]
+    assert out2["embedding"].to_pylist()[0][0] == 0.25
+    with pytest.raises(ValueError, match="expected"):
+        Embedder(dim=8, model_factory=lambda: (lambda t: np.ones((len(t), 16))))(b)
+
+
+def test_embed_feeds_similarity_topk(ray_session):
+    import ray.data as rd
+
+    from zparse_ray.stages.embed import embed, hashed_trigram_embed
+    from zparse_ray.stages.similarity import TopKScorer, merge_topk
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the mat!",   # near-dup of 0
+        "completely different words here about spaceships",
+        "another unrelated document regarding cooking recipes",
+    ]
+    ds = embed(rd.from_arrow(_doc_batch(texts)), dim=64, concurrency=1)
+    q = hashed_trigram_embed(pa.array([texts[0]]), 64)
+    scorer = TopKScorer(q, k=2, id_column="doc_id")
+    # drive the scorer directly over the embedded batches (unit seam)
+    parts = [scorer(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    top = merge_topk([r for p in parts for r in (p if isinstance(p, list) else p.to_pylist())],
+                     k=2, id_column="doc_id")
+    ids = [r["doc_id"] for r in top]
+    assert ids[0] == 0 and ids[1] == 1  # itself, then the near-dup
