@@ -1163,3 +1163,101 @@ def test_embed_feeds_similarity_topk(ray_session):
                      k=2, id_column="doc_id")
     ids = [r["doc_id"] for r in top]
     assert ids[0] == 0 and ids[1] == 1  # itself, then the near-dup
+
+
+# -- n-gram LM perplexity --------------------------------------------------
+
+_LM_TRAIN = [
+    "the cat sat on the mat and the dog sat on the rug",
+    "the quick brown fox jumps over the lazy dog",
+    "a cat and a dog and a fox live in the house",
+    "the dog and the cat play on the mat in the house",
+]
+_LM_EVAL = [
+    "the cat sat on the rug",          # in-domain
+    "zyx qwv jkl pqr mno stu",         # gibberish
+    "",                                # zero tokens -> null
+    "the dog",
+]
+
+
+def _lm_ref(train_texts, eval_texts, k=1.0):
+    import re as _re
+    from collections import Counter
+
+    from zparse_ray.stages.lm_score import _WORD
+
+    tri, bi, uni = Counter(), Counter(), Counter()
+    for t in train_texts:
+        toks = _WORD.findall(t.lower())
+        if not toks:
+            continue
+        uni.update(toks)
+        p = ["<b>", "<b>"] + toks
+        for i in range(len(toks)):
+            tri[(p[i], p[i + 1], p[i + 2])] += 1
+            bi[(p[i], p[i + 1])] += 1
+    V = len(uni)
+    out = []
+    for t in eval_texts:
+        toks = _WORD.findall(t.lower())
+        if not toks:
+            out.append(None)
+            continue
+        p = ["<b>", "<b>"] + toks
+        lps = [
+            np.log(tri[(p[i], p[i + 1], p[i + 2])] + k)
+            - np.log(bi[(p[i], p[i + 1])] + k * V)
+            for i in range(len(toks))
+        ]
+        out.append(float(np.mean(lps)))
+    return tri, bi, uni, out
+
+
+def test_ngram_lm_train_and_score_match_reference(ray_session):
+    import ray
+    import ray.data as rd
+
+    from zparse_ray.stages.lm_score import (
+        PerplexityScorer,
+        score_perplexity,
+        train_ngram_lm,
+    )
+
+    model = train_ngram_lm(rd.from_arrow(_doc_batch(_LM_TRAIN)))
+    tri, bi, uni, ref_avg = _lm_ref(_LM_TRAIN, _LM_EVAL)
+    # count-table parity (tiny corpus: no 64-bit collisions)
+    assert model.vocab_size == len(uni)
+    assert len(model.tri_h) == len(tri)
+    assert int(model.tri_c.sum()) == sum(tri.values())
+    assert len(model.bi_h) == len(bi)
+    assert int(model.bi_c.sum()) == sum(bi.values())
+
+    # distributed scoring vs the per-row reference
+    scored = score_perplexity(
+        rd.from_arrow(_doc_batch(_LM_EVAL)), model, concurrency=1
+    )
+    rows = {r["doc_id"]: r for r in scored.take_all()}
+    for i, expect in enumerate(ref_avg):
+        got = rows[i]["lm_logprob_avg"]
+        if expect is None:
+            assert got is None and rows[i]["perplexity"] is None
+        else:
+            assert got == pytest.approx(expect, abs=1e-9)
+            assert rows[i]["perplexity"] == pytest.approx(np.exp(-expect), rel=1e-9)
+
+    # in-domain text must beat gibberish; local callable == dataset path
+    assert rows[0]["perplexity"] < rows[1]["perplexity"]
+    local = PerplexityScorer(model)(_doc_batch(_LM_EVAL))
+    assert local["perplexity"].to_pylist()[0] == pytest.approx(rows[0]["perplexity"])
+
+
+def test_ngram_lm_min_count_prunes(ray_session):
+    import ray.data as rd
+
+    from zparse_ray.stages.lm_score import train_ngram_lm
+
+    full = train_ngram_lm(rd.from_arrow(_doc_batch(_LM_TRAIN)))
+    pruned = train_ngram_lm(rd.from_arrow(_doc_batch(_LM_TRAIN)), min_count=2)
+    assert len(pruned.tri_h) < len(full.tri_h)
+    assert pruned.vocab_size == full.vocab_size  # vocab is never pruned
