@@ -1261,3 +1261,56 @@ def test_ngram_lm_min_count_prunes(ray_session):
     pruned = train_ngram_lm(rd.from_arrow(_doc_batch(_LM_TRAIN)), min_count=2)
     assert len(pruned.tri_h) < len(full.tri_h)
     assert pruned.vocab_size == full.vocab_size  # vocab is never pruned
+
+
+# -- line-level dedup (boilerplate removal) --------------------------------
+
+def test_line_dedup_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from zparse_ray.stages.line_dedup import line_dedup
+
+    boiler = "Subscribe to our newsletter!"
+    texts = [
+        f"unique first doc\n{boiler}\nmore unique content",
+        f"{boiler}\nsecond doc body",
+        "third doc\nno boilerplate at all",
+        f"   {boiler}   \nfourth doc",       # whitespace-variant still matches
+        "",                                   # empty -> one ws-only line, kept
+        None,
+        "only\n\nstructure\n\nhere",          # blank lines preserved
+    ]
+    out = line_dedup(rd.from_arrow(_doc_batch(texts)), min_docs=2, concurrency=1)
+    rows = {r["doc_id"]: r for r in out.take_all()}
+
+    # brute force: count distinct docs per stripped line, drop >= 2
+    from collections import Counter
+    counts = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        counts.update({ln.strip("\t\n\f\r ") for ln in t.split("\n")} - {""})
+    dup = {ln for ln, c in counts.items() if c >= 2}
+    for i, t in enumerate(texts):
+        if t is None:
+            assert rows[i]["text"] is None and rows[i]["n_lines_dropped"] == 0
+            continue
+        kept = [ln for ln in t.split("\n") if ln.strip("\t\n\f\r ") not in dup]
+        assert rows[i]["text"] == "\n".join(kept), f"doc {i}"
+        assert rows[i]["n_lines_dropped"] == len(t.split("\n")) - len(kept)
+    # sanity: the boilerplate actually got dropped somewhere
+    assert sum(r["n_lines_dropped"] for r in rows.values()) >= 3
+
+
+def test_line_dedup_min_docs_threshold(ray_session):
+    import ray.data as rd
+
+    from zparse_ray.stages.line_dedup import boilerplate_line_hashes
+
+    texts = ["shared line\na", "shared line\nb", "shared line\nc", "solo\nd"]
+    ds = rd.from_arrow(_doc_batch(texts))
+    assert len(boilerplate_line_hashes(ds, min_docs=2)) == 1
+    assert len(boilerplate_line_hashes(ds, min_docs=4)) == 0
+    # within-doc repetition does not count as cross-doc boilerplate
+    ds2 = rd.from_arrow(_doc_batch(["same\nsame\nsame", "other"]))
+    assert len(boilerplate_line_hashes(ds2, min_docs=2)) == 0
