@@ -117,3 +117,47 @@ def test_cli_validate_quarantine_and_profile(tmp_path):
     assert res["profile_path"] == prof and os.path.exists(prof)
     assert os.path.isdir(os.path.join(out, "quarantine"))
     assert json.load(open(prof))["kind_hist"]
+
+
+def test_cli_clean_subprocess(tmp_path):
+    # the clean subcommand end-to-end in a real subprocess
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "normal words in a line",
+                "more normal words here",
+                "footer line\nbody one",
+                "footer line\nbody two",
+                " ".join(["spam"] * 30),
+                "reach me at x@y.org today",
+            ],
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+    out = str(tmp_path / "cleaned")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "zparse_ray.run", "clean", "--input", src,
+         "--output", out, "--max-dup-word-frac", "0.5", "--num-cpus", "2"],
+        cwd=repo, capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["n_docs_in"] == 6 and res["n_docs_out"] == 5  # spam doc dropped
+    assert res["total_n_lines_dropped"] == 2  # the shared footer, both docs
+    assert res["total_n_redactions"] == 1     # the email
+    got = pq.ParquetDataset(out).read().to_pylist()
+    by_id = {r["doc_id"]: r for r in got}
+    assert "x@y.org" not in by_id[5]["text"] and "<EMAIL>" in by_id[5]["text"]

@@ -438,3 +438,86 @@ def test_dedup_corpus_exact_and_minhash(ray_session, tmp_path):
     assert not kept2 & ({100 + i for i in range(5)} | {200 + i for i in range(5, 10)})
     assert stats2["n_neardup_components"] >= 5
     assert stats2["n_dropped"] >= 10
+
+
+def test_clean_corpus_full_stack(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from zparse_ray.pipelines.clean_corpus import clean_corpus
+
+    rng = np.random.default_rng(7)
+    vocab = ["the", "cat", "dog", "house", "runs", "fast", "small", "big",
+             "data", "table", "word", "line", "text", "clean", "model"]
+    texts, ids = [], []
+    # 30 normal docs: varied word soup, no repeated-line boilerplate
+    for i in range(30):
+        texts.append(" ".join(rng.choice(vocab, 40)))
+        ids.append(i)
+    # 3 docs with a shared footer + an email each
+    for i in range(3):
+        texts.append(
+            f"body text number {i} with words\n"
+            "Subscribe: mail admin@example.com for updates\n"
+            f"tail {i}"
+        )
+        ids.append(100 + i)
+    # 2 repetitive junk docs (dup_word_frac ~ 1)
+    for i in range(2):
+        texts.append(" ".join(["spam"] * 60))
+        ids.append(200 + i)
+    df = pd.DataFrame({"doc_id": np.array(ids, np.int64), "text": texts})
+    src = str(tmp_path / "docs.parquet")
+    pa.parquet.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+
+    out = str(tmp_path / "cleaned")
+    stats = clean_corpus(src, out, line_min_docs=2, max_dup_word_frac=0.9)
+    assert stats["n_docs_in"] == 35
+    # the 2 junk docs die on repetition; everything else survives
+    assert stats["n_docs_out"] == 33 and stats["n_dropped"] == 2
+    t = pq.read_table(out)
+    rows = {r["doc_id"]: r for r in t.to_pylist()}
+    assert not set(rows) & {200, 201}
+    # the shared footer line was boilerplate in >= 2 docs -> dropped,
+    # and the email in it was redacted BEFORE counting (so it matched)
+    for i in range(3):
+        r = rows[100 + i]
+        assert r["n_lines_dropped"] == 1
+        assert "admin@example.com" not in r["text"]
+        assert r["text"] == f"body text number {i} with words\ntail {i}"
+    assert stats["total_n_lines_dropped"] == 3
+    # counts reflect the redact STAGE (3 emails hit), even though the
+    # redacted lines were later dropped as boilerplate
+    assert stats["total_n_redactions"] == 3
+    # annotations survive on normal docs
+    assert rows[0]["dup_word_frac"] >= 0.0 and "n_redactions" in rows[0]
+
+    # dirty out_dir refused
+    with pytest.raises(ValueError, match="not empty"):
+        clean_corpus(src, out)
+
+    # perplexity filter with a TRUSTED reference corpus: gibberish dies,
+    # in-domain survives (training on the input itself would let
+    # self-reinforcing duplicated junk score low — the reason
+    # lm_reference exists)
+    out2 = str(tmp_path / "cleaned_ppl")
+    ref_src = str(tmp_path / "ref.parquet")
+    refdf = pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64), "text": texts[:30]})
+    pa.parquet.write_table(pa.Table.from_pandas(refdf, preserve_index=False), ref_src)
+    texts2 = texts[:30] + [
+        "zqx wvj klm pqr xyzzy plugh qwv jkl",
+        "mnb vcx lkj poi uyt rew qas zxc",
+    ]
+    ids2 = ids[:30] + [300, 301]
+    df2 = pd.DataFrame({"doc_id": np.array(ids2, np.int64), "text": texts2})
+    src2 = str(tmp_path / "docs2.parquet")
+    pa.parquet.write_table(pa.Table.from_pandas(df2, preserve_index=False), src2)
+    stats2 = clean_corpus(
+        src2, out2, line_min_docs=0, redact_pii=False,
+        max_perplexity=12.0, lm_reference=ref_src,
+    )
+    kept2 = set(pq.read_table(out2)["doc_id"].to_pylist())
+    assert not kept2 & {300, 301}
+    assert kept2 == set(range(30))  # every in-domain doc survives
+    assert stats2["n_docs_out"] == 30

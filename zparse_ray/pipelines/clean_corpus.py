@@ -1,0 +1,141 @@
+"""End-to-end corpus cleaning: documents parquet in → cleaned,
+annotated, partitioned parquet out, with a per-run stats dict — the
+hygiene pipeline a pre-training data run executes, composed from the
+engine's cleaning operators in their canonical order:
+
+1. **PII redaction** (``stages/redact.py``) — per-batch RE2 passes,
+   placeholders + per-doc counts. Runs FIRST so that PII-varying
+   boilerplate ("Contact us at <EMAIL>") collapses to identical lines
+   before the boilerplate counter sees it.
+2. **Line-level dedup** (``stages/line_dedup.py``) — cross-document
+   repeated-line removal at ``line_min_docs``.
+3. **Repetition filter** (``stages/textops.repetition_batch``) —
+   Gopher-style duplicate-word / top-word fractions; docs above
+   ``max_dup_word_frac`` are dropped. Zero-word documents are dropped
+   by this filter too (they are junk under any quality policy).
+4. **LM perplexity filter** (``stages/lm_score.py``) — optional;
+   trains the trigram LM on ``lm_reference`` (a separate trusted
+   corpus path) or, failing that, on the input itself, then drops docs
+   with perplexity above ``max_perplexity``.
+
+Every stage is a streaming per-batch map; the only shuffles are the
+line-dedup count ``groupby`` and (when enabled) the LM training count
+``groupby`` — both move compact (hash, count) partials, never text.
+The redaction stage is re-executed by the line-dedup count pass (the
+lazy-pipeline re-traversal trade documented in ``stages/line_dedup``).
+
+Stats come from the WRITTEN output, not a third traversal of the
+input: ``n_docs_out`` reads parquet footers only; aggregate redaction /
+line-drop counts re-read just the narrow count columns of the (already
+filtered, much smaller) output directory.
+
+Annotation columns survive in the output (``n_redactions``,
+``n_lines_dropped``, ``dup_word_frac``, ``top_word_frac``, and
+``perplexity`` when enabled) so downstream jobs can re-stratify
+without recomputing.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup_corpus import read_documents
+
+
+def clean_corpus(
+    input_path: str,
+    out_dir: str,
+    *,
+    text_column: str = "text",
+    redact_pii: bool = True,
+    line_min_docs: int = 2,
+    max_dup_word_frac: float | None = None,
+    max_perplexity: float | None = None,
+    lm_reference: str | None = None,
+    concurrency: int = 2,
+) -> dict:
+    """Run the cleaning pipeline; write survivors under ``out_dir``
+    (must be empty — mixing runs corrupts stats) and return stats.
+    Set ``line_min_docs=0`` to skip boilerplate removal; leave
+    ``max_dup_word_frac`` / ``max_perplexity`` as None to skip those
+    filters (annotations are still written when their stage ran)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.line_dedup import line_dedup
+    from ..stages.redact import redact
+    from ..stages.textops import repetition_batch
+
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise ValueError(f"out_dir {out_dir!r} is not empty — refusing to mix runs")
+
+    # actor pools must leave >= 1 CPU for the task-pool stages feeding
+    # them (2 actors on a 2-CPU cluster deadlock the whole pipeline:
+    # the actors hold every CPU while waiting for input that the
+    # starved read/map tasks can never produce)
+    import ray
+
+    total_cpus = int(ray.cluster_resources().get("CPU", concurrency + 1))
+    concurrency = max(1, min(concurrency, total_cpus - 1))
+
+    docs = read_documents(input_path)
+    n_in = docs.count()
+
+    ds = redact(docs, column=text_column) if redact_pii else docs
+    if line_min_docs:
+        ds = line_dedup(
+            ds, column=text_column, min_docs=line_min_docs, concurrency=concurrency
+        )
+
+    if max_dup_word_frac is not None:
+        cap = float(max_dup_word_frac)
+
+        def rep_filter(t: pa.Table) -> pa.Table:
+            t = repetition_batch(t, text_column)  # drops zero-word rows
+            return t.filter(pc.less_equal(t["dup_word_frac"], cap))
+
+        ds = ds.map_batches(rep_filter, batch_format="pyarrow")
+
+    if max_perplexity is not None:
+        from ..stages.lm_score import score_perplexity, train_ngram_lm
+
+        ref = read_documents(lm_reference) if lm_reference else docs
+        model = train_ngram_lm(ref, column=text_column)
+        ds = score_perplexity(ds, model, concurrency=concurrency, text_col=text_column)
+        capp = float(max_perplexity)
+
+        def ppl_filter(t: pa.Table) -> pa.Table:
+            keep = pc.and_kleene(
+                pc.is_valid(t["perplexity"]), pc.less_equal(t["perplexity"], capp)
+            )
+            return t.filter(pc.fill_null(keep, False))
+
+        ds = ds.map_batches(ppl_filter, batch_format="pyarrow")
+
+    ds.write_parquet(out_dir)
+
+    # stats from the written output: footers for the row count, one
+    # narrow columnar read for the aggregate counters
+    files = [
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    ]
+    n_out = sum(pq.read_metadata(f).num_rows for f in files)
+    stats = {
+        "n_docs_in": int(n_in),
+        "n_docs_out": int(n_out),
+        "n_dropped": int(n_in - n_out),
+        "out_dir": out_dir,
+    }
+    if n_out:
+        schema_names = pq.read_schema(files[0]).names
+        want = [c for c in ("n_redactions", "n_lines_dropped") if c in schema_names]
+        if want:
+            tallies = pq.ParquetDataset(files).read(columns=want)
+            for c in want:
+                stats[f"total_{c}"] = int(pc.sum(tallies[c]).as_py() or 0)
+    return stats

@@ -91,7 +91,11 @@ def _drop_ids_minhash(docs, id_column: str, text_column: str, threshold: float):
         return pa.table({"doc_id": t[id_column], "text": t[text_column]})
 
     named = docs.map_batches(rename, batch_format="pyarrow")
-    bands = named.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
+    # leave >= 1 CPU for the task-pool stages feeding the actor pool —
+    # 2 actors on a 2-CPU cluster deadlock (actors hold every CPU while
+    # waiting for input the starved read tasks can never produce)
+    n_actors = max(1, min(2, int(ray.cluster_resources().get("CPU", 3)) - 1))
+    bands = named.map_batches(MinHasher, batch_format="pyarrow", concurrency=n_actors)
     cand = bands.groupby(["band_id", "band_hash"]).map_groups(
         lsh_candidate_pairs, batch_format="pandas"
     )

@@ -96,6 +96,21 @@ def main(argv: list[str] | None = None) -> int:
                    help="minhash mode: exact-Jaccard keep threshold")
     d.add_argument("--num-cpus", type=int, default=None)
 
+    cl = sub.add_parser("clean", help="clean a documents corpus (redact/boilerplate/quality)")
+    cl.add_argument("--input", required=True, help="documents parquet/jsonl/csv")
+    cl.add_argument("--output", required=True, help="output directory (partitioned parquet)")
+    cl.add_argument("--text-column", default="text")
+    cl.add_argument("--no-redact", action="store_true", help="skip PII redaction")
+    cl.add_argument("--line-min-docs", type=int, default=2,
+                    help="drop lines appearing in >= N docs (0 disables)")
+    cl.add_argument("--max-dup-word-frac", type=float, default=None,
+                    help="drop docs above this duplicate-word fraction")
+    cl.add_argument("--max-perplexity", type=float, default=None,
+                    help="drop docs above this trigram-LM perplexity")
+    cl.add_argument("--lm-reference", default=None,
+                    help="trusted corpus to train the LM on (default: the input)")
+    cl.add_argument("--num-cpus", type=int, default=None)
+
     c = sub.add_parser("convert", help="convert one document between formats")
     c.add_argument("--from", dest="from_fmt", default=None)
     c.add_argument("--to", dest="to_fmt", required=True)
@@ -157,6 +172,20 @@ def main(argv: list[str] | None = None) -> int:
 
             cfg = SynthConfig(n_docs=args.docs, n_partitions=args.partitions, seed=args.seed)
             print(ensure_dataset(cfg, args.out_base))
+            return 0
+        if args.cmd == "clean":
+            from .pipelines.clean_corpus import clean_corpus
+
+            print(json.dumps(clean_corpus(
+                args.input,
+                args.output,
+                text_column=args.text_column,
+                redact_pii=not args.no_redact,
+                line_min_docs=args.line_min_docs,
+                max_dup_word_frac=args.max_dup_word_frac,
+                max_perplexity=args.max_perplexity,
+                lm_reference=args.lm_reference,
+            )))
             return 0
         if args.cmd == "dedup":
             from .pipelines.dedup_corpus import dedup_corpus
