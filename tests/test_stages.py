@@ -1314,3 +1314,12 @@ def test_line_dedup_min_docs_threshold(ray_session):
     # within-doc repetition does not count as cross-doc boilerplate
     ds2 = rd.from_arrow(_doc_batch(["same\nsame\nsame", "other"]))
     assert len(boilerplate_line_hashes(ds2, min_docs=2)) == 0
+
+
+def test_ngram_lm_empty_corpus_raises(ray_session):
+    import ray.data as rd
+
+    from zparse_ray.stages.lm_score import train_ngram_lm
+
+    with pytest.raises(ValueError, match="no tokens"):
+        train_ngram_lm(rd.from_arrow(_doc_batch(["", "   ", None])))

@@ -188,6 +188,10 @@ def train_ngram_lm(ds, column: str = "text", *, k: float = 1.0, min_count: int =
         .aggregate(Sum("n", alias_name="n"))
     )
     rows = pa.Table.from_pylist(agg.take_all())
+    if rows.num_rows == 0 or "h" not in rows.column_names:
+        raise ValueError(
+            "train_ngram_lm: reference corpus has no tokens — cannot train"
+        )
     h = rows["h"].to_numpy().astype(np.int64).view(np.uint64)
     kind = rows["kind"].to_numpy()
     n = rows["n"].to_numpy().astype(np.int64)
