@@ -1,0 +1,112 @@
+"""Deterministic-sampling operators (stages/sample.py): SQL parity of
+the Bernoulli hash rule, block-split invariance, per-group stratified
+rates, and the exact-k bottom-k sampler vs a per-row reference."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from zparse_ray.functions.sketches import hash64
+from zparse_ray.stages.sample import (
+    hash_sample,
+    hash_topk_sample,
+    rate_to_ppm,
+    stratified_hash_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rate_to_ppm_bounds():
+    assert rate_to_ppm(0.0) == 0
+    assert rate_to_ppm(1.0) == 1_000_000
+    assert rate_to_ppm(0.05) == 50_000
+    with pytest.raises(ValueError, match="rate"):
+        rate_to_ppm(1.5)
+
+
+def test_hash_sample_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    got = sorted(hash_sample(ds, 0.1, seed=3).to_pandas()["doc_id"])
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"""SELECT doc_id FROM read_parquet('{SF}/documents.parquet')
+                WHERE (CAST(doc_id AS HUGEINT) + 3) * 2654435761
+                      % 18446744073709551616 % 1000000 < 100000"""
+        ).fetchall()
+    )
+    assert got == want and 0 < len(got) < pq.read_metadata(f"{SF}/documents.parquet").num_rows
+
+
+def test_hash_sample_invariant_to_block_splits(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    a = sorted(hash_sample(ds, 0.07).to_pandas()["doc_id"])
+    b = sorted(hash_sample(ds.repartition(7), 0.07).to_pandas()["doc_id"])
+    assert a == b
+
+
+def test_stratified_hash_sample_rates(ray_session):
+    import ray.data as rd
+
+    n = 20_000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "lang": pa.array(["en", "de", "xx", "fr"] * (n // 4), pa.string()),
+        }
+    )
+    out = stratified_hash_sample(
+        rd.from_arrow(t).repartition(5),
+        {"en": 0.5, "de": 0.1},
+        default_rate=0.0,
+    ).to_pandas()
+    by = out.groupby("lang").size()
+    assert "xx" not in by.index and "fr" not in by.index  # default 0 drops
+    assert abs(by["en"] / (n / 4) - 0.5) < 0.03
+    assert abs(by["de"] / (n / 4) - 0.1) < 0.03
+    # rule is per-row deterministic: en rows kept are exactly the hash rule
+    kept_en = set(out[out["lang"] == "en"]["doc_id"])
+    ids = np.arange(0, n, 4, dtype=np.uint64)  # en rows
+    want = {
+        int(i)
+        for i in ids[(ids * np.uint64(2654435761)) % np.uint64(10**6) < 500_000]
+    }
+    assert kept_en == want
+
+
+def test_hash_topk_sample_exact_k_and_nested(ray_session):
+    import ray.data as rd
+
+    tab = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    ds = rd.from_arrow(tab).repartition(6)
+    s20 = hash_topk_sample(ds, 20, seed=11)
+    assert s20.num_rows == 20
+    # per-row reference: the 20 smallest hash64(doc_id, seed=11)
+    ids = tab["doc_id"].to_numpy()
+    h = hash64(ids, seed=11)
+    want = set(ids[np.argsort(h)[:20]].tolist())
+    assert set(s20["doc_id"].to_pylist()) == want
+    # nested property: bottom-5 is a subset of bottom-20
+    s5 = hash_topk_sample(ds, 5, seed=11)
+    assert set(s5["doc_id"].to_pylist()) <= want and s5.num_rows == 5
+    # schema passes through unchanged (no helper column leaks)
+    assert s20.column_names == ["doc_id", "lang"]
+
+
+def test_hash_topk_sample_k_larger_than_input(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())})
+    out = hash_topk_sample(rd.from_arrow(t), 10)
+    assert sorted(out["doc_id"].to_pylist()) == [1, 2, 3]
+    with pytest.raises(ValueError, match="k must be positive"):
+        hash_topk_sample(rd.from_arrow(t), 0)

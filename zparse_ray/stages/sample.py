@@ -1,0 +1,181 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Three shapes, all RNG-free (stable across runs, workers, block splits
+and engines — the property a reproducible data pipeline needs; same
+rationale as ``textops.split_assign_batch``):
+
+- ``hash_sample``: Bernoulli-by-hash row sampling — keep a row iff
+  ``((id + seed) * 2654435761) mod 2^64 mod 10^6 < rate_ppm``. The
+  Knuth multiplicative hash is SQL-reproducible as HUGEINT arithmetic
+  (``% 18446744073709551616``), so DuckDB can verify the exact sample
+  (see the parity test). Pure per-batch filter, zero shuffle.
+- ``stratified_hash_sample``: per-group rates (e.g. downsample each
+  language to a quota) via one broadcast (group -> rate_ppm) lookup
+  (``pc.index_in`` + take, the ``joins.broadcast_lookup_join`` trick)
+  and the same hash rule. Zero shuffle.
+- ``hash_topk_sample``: EXACT-k uniform-without-replacement sample as
+  "the k rows with the smallest ``hash64(id, seed)``" (consistent /
+  bottom-k sampling): each batch keeps its k smallest locally (a
+  k-sized partial, the ``ann_topk`` partial+merge shape), the driver
+  merges O(blocks * k) partials. The k-row result is small by
+  contract, so driver materialization is the right call; the input
+  itself streams. Samples are NESTED across k (bottom-(k1) is a
+  subset of bottom-(k2) for k1 < k2) and mergeable across corpora —
+  what a 100-TB progressive-sampling loop wants.
+
+Granularity note (documented, matches ``split_assign_batch``): ids
+that are all multiples of 2^j give Knuth products that are multiples
+of 2^min(j,6) mod 10^6, so the realized rate quantizes to steps of
+2^min(j,6)/10^6 — at most 64 ppm. Pass a seed to decorrelate repeated
+samples of the same table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.sketches import hash64
+
+_KNUTH = np.uint64(2654435761)
+_PPM = np.uint64(1_000_000)
+
+
+def rate_to_ppm(rate: float) -> int:
+    """Clamp + round a [0,1] rate to parts-per-million (the integer the
+    hash rule and its SQL oracle both compare against)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"sampling rate must be in [0,1], got {rate}")
+    return int(round(rate * 1_000_000))
+
+
+def _ppm_bucket(ids: np.ndarray, seed: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return ((ids.astype(np.uint64) + np.uint64(seed)) * _KNUTH) % _PPM
+
+
+def hash_sample_batch(
+    batch: pa.Table,
+    *,
+    rate_ppm: int,
+    id_column: str = "doc_id",
+    seed: int = 0,
+) -> pa.Table:
+    """Keep rows whose Knuth-hash ppm bucket is < ``rate_ppm``."""
+    ids = batch[id_column].to_numpy(zero_copy_only=False)
+    keep = _ppm_bucket(ids, seed) < np.uint64(rate_ppm)
+    return batch.filter(pa.array(keep))
+
+
+def hash_sample(ds, rate: float, *, id_column: str = "doc_id", seed: int = 0):
+    """Deterministic Bernoulli sample of ``rate`` of the rows."""
+    ppm = rate_to_ppm(rate)
+    return ds.map_batches(
+        hash_sample_batch,
+        fn_kwargs={"rate_ppm": ppm, "id_column": id_column, "seed": seed},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def stratified_sample_batch(
+    batch: pa.Table,
+    *,
+    group_keys: np.ndarray,
+    group_ppm: np.ndarray,
+    group_column: str = "lang",
+    id_column: str = "doc_id",
+    default_ppm: int = 0,
+    seed: int = 0,
+) -> pa.Table:
+    """Per-group-rate filter: one ``pc.index_in`` lookup of the row's
+    group into the broadcast (keys, ppm) pair, then the hash rule."""
+    idx = (
+        pc.index_in(batch[group_column], pa.array(group_keys))
+        .fill_null(-1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    table = np.append(np.asarray(group_ppm, dtype=np.uint64), np.uint64(default_ppm))
+    ppm = table[idx]  # idx == -1 (unlisted group) indexes the appended default
+    ids = batch[id_column].to_numpy(zero_copy_only=False)
+    keep = _ppm_bucket(ids, seed) < ppm
+    return batch.filter(pa.array(keep))
+
+
+def stratified_hash_sample(
+    ds,
+    rates: dict[str, float],
+    *,
+    group_column: str = "lang",
+    id_column: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: int = 0,
+):
+    """Deterministic per-group downsampling (language-quota rebalancing
+    etc.). ``rates`` maps group value -> keep rate; groups not listed
+    get ``default_rate``. The (keys, ppm) table ships by value in the
+    task closure — it is O(#groups), tiny by contract."""
+    keys = np.array(sorted(rates), dtype=object)
+    ppm = np.array([rate_to_ppm(rates[k]) for k in keys], dtype=np.uint64)
+    return ds.map_batches(
+        stratified_sample_batch,
+        fn_kwargs={
+            "group_keys": keys,
+            "group_ppm": ppm,
+            "group_column": group_column,
+            "id_column": id_column,
+            "default_ppm": rate_to_ppm(default_rate),
+            "seed": seed,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _bottomk_partial(batch: pa.Table, *, k: int, id_column: str, seed: int) -> pa.Table:
+    ids = batch[id_column].to_numpy(zero_copy_only=False)
+    h = hash64(ids, seed=seed)
+    if len(h) > k:
+        keep = np.argpartition(h, k)[:k]
+        batch = batch.take(pa.array(keep))
+        h = h[keep]
+    # carry the sort key through the merge as int64 bits (lossless view)
+    return batch.append_column("_sample_h", pa.array(h.view(np.int64), pa.int64()))
+
+
+def hash_topk_sample(ds, k: int, *, id_column: str = "doc_id", seed: int = 0) -> pa.Table:
+    """Exact-k deterministic uniform sample: the k rows with the
+    smallest ``hash64(id, seed)``. Returns a ``pyarrow.Table`` of
+    <= k rows (small by contract)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    partials = ds.map_batches(
+        _bottomk_partial,
+        fn_kwargs={"k": k, "id_column": id_column, "seed": seed},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # stream the <=k-row partials to the driver, folding down to k rows
+    # whenever the accumulator grows past 4k (memory stays O(k))
+    acc: pa.Table | None = None
+    for part in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if part.num_rows == 0:
+            continue
+        acc = part if acc is None else pa.concat_tables([acc, part])
+        if acc.num_rows > 4 * k:
+            acc = _bottomk_table(acc, k)
+    if acc is None:
+        empty = ds.schema()
+        return pa.Table.from_arrays(
+            [pa.array([], t) for t in empty.types], names=empty.names
+        )
+    return _bottomk_table(acc, k).drop_columns(["_sample_h"])
+
+
+def _bottomk_table(t: pa.Table, k: int) -> pa.Table:
+    if t.num_rows <= k:
+        return t
+    h = t["_sample_h"].to_numpy().view(np.uint64)
+    return t.take(pa.array(np.argpartition(h, k)[:k]))
