@@ -110,3 +110,77 @@ def test_hash_topk_sample_k_larger_than_input(ray_session):
     assert sorted(out["doc_id"].to_pylist()) == [1, 2, 3]
     with pytest.raises(ValueError, match="k must be positive"):
         hash_topk_sample(rd.from_arrow(t), 0)
+
+
+# --- cross-corpus dedup (stages/dedup.py::cross_corpus_dedup) ---
+
+
+def _corpus(texts, start_id=0):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "doc_id": pa.array(range(start_id, start_id + len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+@pytest.mark.parametrize("method", ["broadcast", "bloom", "shuffle"])
+def test_cross_corpus_dedup_drops_planted_overlap(ray_session, method):
+    import ray.data as rd
+
+    from zparse_ray.stages.dedup import cross_corpus_dedup
+
+    ref = rd.from_arrow(_corpus(["alpha doc", "beta doc", "gamma doc", "beta doc"]))
+    # candidate B/C collide after normalization (case / surrounding ws)
+    cand = rd.from_arrow(
+        _corpus(["  Beta DOC ", "GAMMA doc", "delta doc", "epsilon doc"], start_id=100)
+    ).repartition(2)
+    out = cross_corpus_dedup(cand, ref, method=method)
+    kept = sorted(out.to_pandas()["doc_id"])
+    assert kept == [102, 103]
+
+
+@pytest.mark.parametrize("method", ["broadcast", "shuffle"])
+def test_cross_corpus_dedup_mark_mode(ray_session, method):
+    import ray.data as rd
+
+    from zparse_ray.stages.dedup import cross_corpus_dedup
+
+    ref = rd.from_arrow(_corpus(["one", "two"]))
+    cand = rd.from_arrow(_corpus(["two", "three"], start_id=10))
+    out = cross_corpus_dedup(cand, ref, method=method, mark=True).to_pandas()
+    flags = dict(zip(out["doc_id"], out["in_reference"]))
+    assert flags == {10: True, 11: False}
+    assert "content_hash" not in out.columns and "__hit" not in out.columns
+
+
+def test_cross_corpus_dedup_empty_reference(ray_session):
+    import ray.data as rd
+
+    from zparse_ray.stages.dedup import cross_corpus_dedup
+
+    ref = rd.from_arrow(_corpus([]))
+    cand = rd.from_arrow(_corpus(["a", "b"], start_id=5))
+    out = cross_corpus_dedup(cand, ref, method="broadcast")
+    assert sorted(out.to_pandas()["doc_id"]) == [5, 6]
+    with pytest.raises(ValueError, match="unknown method"):
+        cross_corpus_dedup(cand, ref, method="nope")
+
+
+def test_reference_bloom_no_false_negatives(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from zparse_ray.stages.dedup import content_hash_batch, reference_bloom
+
+    texts = [f"document number {i}" for i in range(500)]
+    ref_tab = _corpus(texts)
+    bloom = reference_bloom(rd.from_arrow(ref_tab).repartition(4), fpr=1e-4)
+    h = content_hash_batch(ref_tab)["content_hash"].to_numpy()
+    assert bloom.contains(h).all()  # every reference hash must hit
+    other = content_hash_batch(_corpus([f"novel text {i}" for i in range(500)]))[
+        "content_hash"
+    ].to_numpy()
+    assert bloom.contains(other).mean() < 0.01  # fpr holds with margin

@@ -356,3 +356,162 @@ def simhash_candidate_pairs(group: pd.DataFrame, max_hamming: int = 3) -> pd.Dat
         h = np.append(h, -1)
         nd = np.append(nd, n_dropped)
     return pd.DataFrame({"a": a, "b": b, "hamming": h, "n_dropped": nd})
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus exact dedup (incremental-ingestion dedup: drop candidate
+# docs whose normalized content already exists in a reference corpus)
+
+
+def _distinct_hash_partial(batch: pa.Table, *, column: str) -> pa.Table:
+    """Per-batch combiner: normalized content hashes, deduped BEFORE
+    anything leaves the task (only distinct int64s move)."""
+    h = content_hash_batch(batch, column)["content_hash"].to_numpy()
+    return pa.table({"content_hash": pa.array(np.unique(h), pa.int64())})
+
+
+def reference_hash_array(ds, *, column: str = "text") -> np.ndarray:
+    """Sorted distinct content hashes of a corpus. Streams per-batch
+    distinct partials to the driver and folds incrementally — driver
+    memory is O(distinct hashes), 8 bytes each. Fine up to ~10^9
+    distinct docs; beyond that use ``method='shuffle'`` (no driver
+    state) or sharded Bloom actors (``stages/uniqueness.py``)."""
+    partials = ds.map_batches(
+        _distinct_hash_partial,
+        fn_kwargs={"column": column},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    acc = np.empty(0, dtype=np.int64)
+    for part in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        acc = np.union1d(acc, part["content_hash"].to_numpy())
+    return acc
+
+
+def reference_bloom(ds, *, column: str = "text", capacity: int | None = None, fpr: float = 1e-4):
+    """Bloom filter over a corpus's content hashes, built on the driver
+    from the streamed distinct partials (memory O(n_bits), never the
+    hash set). No false negatives; ~``fpr`` of non-duplicate candidates
+    are wrongly dropped — the documented approximation of the bloom
+    mode. ``capacity`` defaults to ``ds.count()`` (an upper bound on
+    distinct hashes; parquet reads answer it from metadata)."""
+    from ..functions.sketches import BloomFilter
+
+    if capacity is None:
+        capacity = max(1, ds.count())
+    bloom = BloomFilter.for_capacity(capacity, fpr)
+    partials = ds.map_batches(
+        _distinct_hash_partial,
+        fn_kwargs={"column": column},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    for part in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        bloom.add(part["content_hash"].to_numpy())
+    return bloom
+
+
+class _CrossCorpusFilter:
+    """Actor-pool stage: membership of each candidate doc's content
+    hash in the broadcast reference set (sorted array -> searchsorted,
+    or Bloom -> contains). The set is a ``ray.ObjectRef`` fetched ONCE
+    per actor here (plasma numpy views stay zero-copy across actors on
+    a node)."""
+
+    def __init__(self, ref, *, kind: str, column: str, mark: bool):
+        import ray
+
+        obj = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.kind = kind
+        self.obj = obj
+        self.column = column
+        self.mark = mark
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = content_hash_batch(batch, self.column)["content_hash"].to_numpy()
+        if self.kind == "sorted":
+            pos = np.searchsorted(self.obj, h)
+            pos = np.minimum(pos, max(0, len(self.obj) - 1))
+            hit = (self.obj[pos] == h) if len(self.obj) else np.zeros(len(h), bool)
+        else:  # bloom
+            hit = self.obj.contains(h)
+        if self.mark:
+            return batch.append_column("in_reference", pa.array(hit, pa.bool_()))
+        return batch.filter(pa.array(~hit))
+
+
+def cross_corpus_dedup(
+    candidates,
+    reference,
+    *,
+    column: str = "text",
+    method: str = "broadcast",
+    mark: bool = False,
+    fpr: float = 1e-4,
+    concurrency: int = 2,
+):
+    """Drop (or with ``mark=True`` flag) candidate docs whose normalized
+    content hash appears in ``reference`` — the incremental-ingestion
+    dedup (new crawl vs existing corpus). Three scale shapes:
+
+    - ``broadcast`` (exact): reference distinct hashes -> sorted array
+      broadcast once via ``ray.put``; candidates stream through an
+      actor-pool searchsorted filter. Zero shuffle; right when the
+      reference's distinct-hash set fits memory (~10^9 docs = 8 GB).
+    - ``bloom`` (approximate, no false negatives): same stream shape
+      with a Bloom filter in O(n_bits) instead of the hash set; ~fpr
+      of unique candidates are wrongly dropped (documented).
+    - ``shuffle`` (exact, both sides unbounded): ONE bucketed co-shuffle
+      of (hash, row) via ``joins.bucketed_semi_mark`` — no driver or
+      broadcast state at all; the 10^12 x 10^12 path.
+    """
+    if method in ("broadcast", "bloom"):
+        import ray
+
+        obj = (
+            reference_hash_array(reference, column=column)
+            if method == "broadcast"
+            else reference_bloom(reference, column=column, fpr=fpr)
+        )
+        return candidates.map_batches(
+            _CrossCorpusFilter,
+            fn_constructor_kwargs={
+                "ref": ray.put(obj),
+                "kind": "sorted" if method == "broadcast" else "bloom",
+                "column": column,
+                "mark": mark,
+            },
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+            max_restarts=0,
+        )
+    if method != "shuffle":
+        raise ValueError(f"unknown method {method!r} (broadcast | bloom | shuffle)")
+    from .joins import bucketed_semi_mark
+
+    cand = candidates.map_batches(
+        content_hash_batch, fn_kwargs={"column": column},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    ref = reference.map_batches(
+        _distinct_hash_partial, fn_kwargs={"column": column},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    marked = bucketed_semi_mark(
+        cand, ref, left_on="content_hash", key_col="content_hash"
+    )
+    if mark:
+        def to_bool(t: pa.Table) -> pa.Table:
+            hit = t["__hit"].to_numpy().astype(bool)
+            return t.drop_columns(["__hit", "content_hash"]).append_column(
+                "in_reference", pa.array(hit, pa.bool_())
+            )
+
+        return marked.map_batches(to_bool, batch_format="pyarrow", zero_copy_batch=True)
+
+    def drop_hits(t: pa.Table) -> pa.Table:
+        keep = t["__hit"].to_numpy() == 0
+        return t.filter(pa.array(keep)).drop_columns(["__hit", "content_hash"])
+
+    return marked.map_batches(drop_hits, batch_format="pyarrow", zero_copy_batch=True)
