@@ -161,3 +161,51 @@ def test_cli_clean_subprocess(tmp_path):
     got = pq.ParquetDataset(out).read().to_pylist()
     by_id = {r["doc_id"]: r for r in got}
     assert "x@y.org" not in by_id[5]["text"] and "<EMAIL>" in by_id[5]["text"]
+
+
+def test_cli_chunk_and_sample_subprocess(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            "lang": (["en", "de"] * 20),
+            "text": [" ".join(f"w{i}_{j}" for j in range(11)) for i in range(40)],
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    out_c = str(tmp_path / "chunks")
+    r = subprocess.run(
+        [sys.executable, "-m", "zparse_ray.run", "chunk", "--input", src,
+         "--output", out_c, "--chunk-tokens", "5", "--overlap-tokens", "1",
+         "--num-cpus", "2"],
+        cwd=repo, capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    # 11 tokens, chunk 5 stride 4 -> ceil((11-5)/4)+1 = 3 chunks per doc
+    assert res == {"n_docs": 40, "n_chunks": 120, "chunk_tokens": 5,
+                   "overlap_tokens": 1}
+    tab = pq.ParquetDataset(out_c).read()
+    assert sorted(tab.column_names) == ["chunk_id", "doc_id", "n_tokens", "text"]
+
+    out_s = str(tmp_path / "sampled")
+    r = subprocess.run(
+        [sys.executable, "-m", "zparse_ray.run", "sample", "--input", src,
+         "--output", out_s, "--k", "7", "--num-cpus", "2"],
+        cwd=repo, capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["n_kept"] == 7
+    assert pq.ParquetDataset(out_s).read().num_rows == 7

@@ -4,6 +4,7 @@ zparse-cli/src/main.rs — and the `ray job submit` target).
   python -m zparse_ray.run validate --input DIR --output DIR [--round-trip]
       [--drift-profile FILE] [--no-resume] [--num-cpus N]
   python -m zparse_ray.run synth --docs N --partitions P --out-base DIR
+  python -m zparse_ray.run dedup|clean|chunk|sample --input PATH --output DIR [...]
   python -m zparse_ray.run convert --from FMT --to FMT [--input FILE] [--output FILE]
   python -m zparse_ray.run parse [--from FMT] [--input FILE]
 
@@ -33,6 +34,20 @@ def _write_output(path: str | None, data: str) -> None:
     else:
         with open(path, "w", encoding="utf-8") as f:
             f.write(data)
+
+
+
+def _parquet_rows(out_dir: str) -> int:
+    """Row count of a written parquet directory from file footers (no
+    data read)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(f"{out_dir}/*.parquet")
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -111,6 +126,32 @@ def main(argv: list[str] | None = None) -> int:
                     help="trusted corpus to train the LM on (default: the input)")
     cl.add_argument("--num-cpus", type=int, default=None)
 
+    ch = sub.add_parser("chunk", help="split documents into token-window chunks")
+    ch.add_argument("--input", required=True, help="documents parquet/jsonl/csv")
+    ch.add_argument("--output", required=True, help="output directory (partitioned parquet)")
+    ch.add_argument("--chunk-tokens", type=int, default=512)
+    ch.add_argument("--overlap-tokens", type=int, default=0)
+    ch.add_argument("--text-column", default="text")
+    ch.add_argument("--id-column", default="doc_id")
+    ch.add_argument("--num-cpus", type=int, default=None)
+
+    sa = sub.add_parser("sample", help="deterministic corpus sampling")
+    sa.add_argument("--input", required=True, help="documents parquet/jsonl/csv")
+    sa.add_argument("--output", required=True, help="output directory (partitioned parquet)")
+    g = sa.add_mutually_exclusive_group(required=True)
+    g.add_argument("--rate", type=float, default=None,
+                   help="Bernoulli keep rate in [0,1] (hash rule, deterministic)")
+    g.add_argument("--k", type=int, default=None,
+                   help="exact-k uniform sample (bottom-k by hash)")
+    g.add_argument("--rate-by", default=None, metavar="G=R,G=R",
+                   help="stratified per-group rates, e.g. en=0.5,de=0.1")
+    sa.add_argument("--default-rate", type=float, default=0.0,
+                    help="rate for groups not listed in --rate-by")
+    sa.add_argument("--group-column", default="lang")
+    sa.add_argument("--id-column", default="doc_id")
+    sa.add_argument("--seed", type=int, default=0)
+    sa.add_argument("--num-cpus", type=int, default=None)
+
     c = sub.add_parser("convert", help="convert one document between formats")
     c.add_argument("--from", dest="from_fmt", default=None)
     c.add_argument("--to", dest="to_fmt", required=True)
@@ -186,6 +227,61 @@ def main(argv: list[str] | None = None) -> int:
                 max_perplexity=args.max_perplexity,
                 lm_reference=args.lm_reference,
             )))
+            return 0
+        if args.cmd == "chunk":
+            from .pipelines.dedup_corpus import read_documents
+            from .stages.chunk import chunk_documents
+
+            docs = read_documents(args.input)
+            n_docs = docs.count()
+            out = chunk_documents(
+                docs,
+                chunk_tokens=args.chunk_tokens,
+                overlap_tokens=args.overlap_tokens,
+                column=args.text_column,
+                id_column=args.id_column,
+            )
+            out.write_parquet(args.output)
+            n_chunks = _parquet_rows(args.output)
+            print(json.dumps({"n_docs": n_docs, "n_chunks": n_chunks,
+                              "chunk_tokens": args.chunk_tokens,
+                              "overlap_tokens": args.overlap_tokens}))
+            return 0
+        if args.cmd == "sample":
+            from .pipelines.dedup_corpus import read_documents
+            from .stages.sample import (
+                hash_sample,
+                hash_topk_sample,
+                stratified_hash_sample,
+            )
+
+            docs = read_documents(args.input)
+            if args.k is not None:
+                tab = hash_topk_sample(
+                    docs, args.k, id_column=args.id_column, seed=args.seed
+                )
+                rd.from_arrow(tab).write_parquet(args.output)
+                n_kept = tab.num_rows
+            else:
+                if args.rate_by is not None:
+                    rates = {}
+                    for part in args.rate_by.split(","):
+                        key, _, val = part.partition("=")
+                        rates[key.strip()] = float(val)
+                    out = stratified_hash_sample(
+                        docs, rates,
+                        group_column=args.group_column,
+                        id_column=args.id_column,
+                        default_rate=args.default_rate,
+                        seed=args.seed,
+                    )
+                else:
+                    out = hash_sample(
+                        docs, args.rate, id_column=args.id_column, seed=args.seed
+                    )
+                out.write_parquet(args.output)
+                n_kept = _parquet_rows(args.output)
+            print(json.dumps({"n_kept": n_kept, "seed": args.seed}))
             return 0
         if args.cmd == "dedup":
             from .pipelines.dedup_corpus import dedup_corpus
