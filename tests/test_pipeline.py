@@ -521,3 +521,26 @@ def test_clean_corpus_full_stack(ray_session, tmp_path):
     assert not kept2 & {300, 301}
     assert kept2 == set(range(30))  # every in-domain doc survives
     assert stats2["n_docs_out"] == 30
+
+
+def test_clean_corpus_all_docs_filtered_returns_zero(ray_session, tmp_path):
+    """When every doc is dropped (here: one shared line across all
+    docs, so boilerplate removal empties them and the repetition
+    filter drops the empties), clean_corpus reports n_docs_out=0
+    instead of crashing on the missing output dir."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zparse_ray.pipelines.clean_corpus import clean_corpus
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": [0, 1, 2], "text": ["same line"] * 3}),
+            preserve_index=False,
+        ),
+        src,
+    )
+    res = clean_corpus(src, str(tmp_path / "out"), max_dup_word_frac=0.5)
+    assert res["n_docs_in"] == 3 and res["n_docs_out"] == 0 and res["n_dropped"] == 3

@@ -118,12 +118,18 @@ def clean_corpus(
     ds.write_parquet(out_dir)
 
     # stats from the written output: footers for the row count, one
-    # narrow columnar read for the aggregate counters
-    files = [
-        os.path.join(out_dir, f)
-        for f in os.listdir(out_dir)
-        if f.endswith(".parquet")
-    ]
+    # narrow columnar read for the aggregate counters. When every doc
+    # was filtered, write_parquet may not have created out_dir at all —
+    # an empty result is a valid outcome, not a crash.
+    files = (
+        [
+            os.path.join(out_dir, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        ]
+        if os.path.isdir(out_dir)
+        else []
+    )
     n_out = sum(pq.read_metadata(f).num_rows for f in files)
     stats = {
         "n_docs_in": int(n_in),
