@@ -544,3 +544,50 @@ def test_clean_corpus_all_docs_filtered_returns_zero(ray_session, tmp_path):
     )
     res = clean_corpus(src, str(tmp_path / "out"), max_dup_word_frac=0.5)
     assert res["n_docs_in"] == 3 and res["n_docs_out"] == 0 and res["n_dropped"] == 3
+
+
+def test_dedup_corpus_with_reference(ray_session, tmp_path):
+    """Incremental-ingestion mode: --reference drops cross-corpus dups
+    FIRST, then within-corpus exact dedup runs on the survivors; stats
+    separate the two drop counts."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from zparse_ray.pipelines.dedup_corpus import dedup_corpus
+
+    ref = str(tmp_path / "ref.parquet")
+    pa.parquet.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": [0, 1], "text": ["old doc one", "old doc two"]}),
+            preserve_index=False,
+        ),
+        ref,
+    )
+    # candidates: one cross dup (normalized match), one within dup pair,
+    # two unique docs
+    cand = str(tmp_path / "cand.parquet")
+    pa.parquet.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": [10, 11, 12, 13, 14],
+                    "text": [
+                        "  OLD doc ONE ",   # cross dup of ref 0
+                        "fresh text a",
+                        "fresh text a",     # within dup of 11
+                        "fresh text b",
+                        "fresh text c",
+                    ],
+                }
+            ),
+            preserve_index=False,
+        ),
+        cand,
+    )
+    for method in ("broadcast", "shuffle"):
+        out = str(tmp_path / f"out_{method}")
+        stats = dedup_corpus(cand, out, mode="exact", reference=ref, cross_method=method)
+        assert stats["n_cross_dropped"] == 1, method
+        assert stats["n_docs_in"] == 5 and stats["n_docs_out"] == 3, method
+        kept = set(pq.ParquetDataset(out).read()["doc_id"].to_pylist())
+        assert kept == {11, 13, 14}, method

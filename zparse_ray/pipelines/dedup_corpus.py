@@ -161,11 +161,17 @@ def dedup_corpus(
     id_column: str = "doc_id",
     text_column: str = "text",
     threshold: float = 0.8,
+    reference: str | None = None,
+    cross_method: str = "broadcast",
 ) -> dict:
     """Run corpus dedup; write surviving rows as partitioned parquet
     under ``out_dir`` (must not already contain files — a dirty
     directory would mix runs and corrupt counts) and return a stats
-    dict."""
+    dict. With ``reference`` set, docs whose normalized content already
+    exists in that corpus are dropped FIRST (incremental-ingestion
+    dedup via ``stages.dedup.cross_corpus_dedup``; ``cross_method`` =
+    broadcast | bloom | shuffle), then within-corpus dedup runs on the
+    survivors."""
     import os
 
     import ray.data as rd
@@ -179,12 +185,31 @@ def dedup_corpus(
     docs = read_documents(input_path)
     n_in = docs.count()
 
+    cross_stats = {}
+    if reference is not None:
+        from ..stages.dedup import cross_corpus_dedup
+
+        # broadcast/bloom build the reference set eagerly ONCE (it
+        # lives in plasma); the returned dataset stays lazy, so the
+        # multi-scan passes below just re-run the cheap per-batch
+        # membership filter. shuffle mode re-runs its co-shuffle per
+        # scan — exact-but-heavier, the no-driver-state trade.
+        docs = cross_corpus_dedup(
+            docs,
+            read_documents(reference),
+            column=text_column,
+            method=cross_method,
+        )
+        n_after_cross = docs.count()
+        cross_stats = {"n_cross_dropped": int(n_in - n_after_cross)}
+    n_base = n_in - cross_stats.get("n_cross_dropped", 0)
+
     if mode == "exact":
         # materialized: the winner-id set feeds both the survivor count
         # and the semi-mark, so the (hash, id) shuffle runs once
         keep = _keep_ids_exact(docs, id_column, text_column).materialize()
         marked = bucketed_semi_mark(
-            docs, keep, left_on=id_column, key_col="keep_id", est_rows=n_in
+            docs, keep, left_on=id_column, key_col="keep_id", est_rows=n_base
         )
 
         def keep_hits(t: pa.Table) -> pa.Table:
@@ -217,7 +242,7 @@ def dedup_corpus(
         else:
             out = docs
         # ids are unique, so the survivor count is exact arithmetic
-        n_out = n_in - len(drop)
+        n_out = n_base - len(drop)
         extra = {"n_neardup_components": n_components,
                  "n_truncated_slots": n_truncated}
 
@@ -228,5 +253,6 @@ def dedup_corpus(
         "n_docs_out": int(n_out),
         "n_dropped": int(n_in - n_out),
         "out_dir": out_dir,
+        **cross_stats,
         **extra,
     }

@@ -109,6 +109,11 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--text-column", default="text")
     d.add_argument("--threshold", type=float, default=0.8,
                    help="minhash mode: exact-Jaccard keep threshold")
+    d.add_argument("--reference", default=None,
+                   help="existing corpus: drop docs already present in it first")
+    d.add_argument("--cross-method", choices=("broadcast", "bloom", "shuffle"),
+                   default="broadcast",
+                   help="membership shape for --reference (see stages/dedup.py)")
     d.add_argument("--num-cpus", type=int, default=None)
 
     cl = sub.add_parser("clean", help="clean a documents corpus (redact/boilerplate/quality)")
@@ -293,6 +298,8 @@ def main(argv: list[str] | None = None) -> int:
                 id_column=args.id_column,
                 text_column=args.text_column,
                 threshold=args.threshold,
+                reference=args.reference,
+                cross_method=args.cross_method,
             )))
             return 0
         from .pipelines.validate import run_validation
