@@ -184,3 +184,80 @@ def test_reference_bloom_no_false_negatives(ray_session):
         "content_hash"
     ].to_numpy()
     assert bloom.contains(other).mean() < 0.01  # fpr holds with margin
+
+
+# --- deterministic shuffle ---
+
+
+def test_deterministic_shuffle_order_matches_hash_and_is_stable(ray_session):
+    import ray.data as rd
+
+    from zparse_ray.stages.sample import deterministic_shuffle
+
+    tab = pa.table({"doc_id": pa.array(np.arange(1000), pa.int64())})
+    a = deterministic_shuffle(rd.from_arrow(tab).repartition(4), seed=5)
+    got = [r["doc_id"] for r in a.take_all()]
+    ids = np.arange(1000)
+    want = ids[np.argsort(hash64(ids, seed=5).view(np.int64), kind="stable")].tolist()
+    assert got == want and got != ids.tolist()
+    # block-layout invariance + schema passthrough
+    b = deterministic_shuffle(rd.from_arrow(tab).repartition(9), seed=5)
+    assert [r["doc_id"] for r in b.take_all()] == want
+    assert a.schema().names == ["doc_id"]
+    # different seed -> different order
+    c = deterministic_shuffle(rd.from_arrow(tab), seed=6)
+    assert [r["doc_id"] for r in c.take_all()] != want
+
+
+# --- semantic decontamination (stages/decontam.py) ---
+
+
+def test_semantic_decontam_flags_scaled_copies(ray_session):
+    import ray.data as rd
+
+    from zparse_ray.stages.decontam import semantic_decontam
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 16))
+    # benchmark = rows 0-4; rows 10-14 are scaled copies (cos == 1)
+    vecs[10:15] = vecs[0:5] * 3.25
+    tab = pa.table(
+        {
+            "vec_id": pa.array(np.arange(50), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    bench = vecs[0:5]
+    ds = rd.from_arrow(tab).repartition(3)
+    out = semantic_decontam(ds, bench, threshold=0.999).to_pandas()
+    dropped = set(range(50)) - set(out["vec_id"])
+    assert dropped == {0, 1, 2, 3, 4, 10, 11, 12, 13, 14}
+    assert "max_benchmark_cos" not in out.columns
+
+    # mark mode matches a brute-force per-row reference
+    marked = semantic_decontam(ds, bench, mark=True).to_pandas()
+    bn = bench / np.linalg.norm(bench, axis=1, keepdims=True)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    want = (vn @ bn.T).max(axis=1)
+    got = marked.sort_values("vec_id")["max_benchmark_cos"].to_numpy()
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_semantic_decontam_zero_norm_rows_kept(ray_session):
+    import ray.data as rd
+
+    from zparse_ray.stages.decontam import semantic_decontam
+
+    tab = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[0.0, 0.0], [1.0, 0.0]], pa.list_(pa.float64())),
+        }
+    )
+    out = semantic_decontam(
+        rd.from_arrow(tab), np.array([[1.0, 0.0]]), threshold=0.9
+    ).to_pandas()
+    assert sorted(out["vec_id"]) == [0]  # zero vector: cos 0, kept; parallel: dropped

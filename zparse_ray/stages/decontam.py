@@ -88,3 +88,80 @@ def mark_contaminated(
         return t.select([id_col, "n_hits"])
 
     return marked.map_batches(keep_hits, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination (embedding-space flavor): flag rows whose
+# embedding is near-parallel to any benchmark embedding — catches
+# paraphrased/reformatted eval contamination that exact substrings miss
+
+
+class EmbeddingDecontaminator:
+    """Actor-pool ``map_batches`` callable: appends ``max_benchmark_cos``
+    (float64) = the maximum cosine similarity of each row's
+    ``vec_column`` against the broadcast benchmark matrix.
+
+    ``benchmark`` is a (k, d) float array or a ``ray.ObjectRef`` to one
+    — fetched ONCE per actor in ``__init__`` (rows are l2-normalized
+    here; zero-norm benchmark rows are dropped). Per batch the work is
+    one (n,d)@(d,k) matmul + a rowwise max — benchmark-sized k stays on
+    the small side, the batch side streams. Zero shuffle."""
+
+    def __init__(self, benchmark, vec_column: str = "embedding"):
+        import ray
+
+        if isinstance(benchmark, ray.ObjectRef):
+            benchmark = ray.get(benchmark)
+        b = np.asarray(benchmark, dtype=np.float64)
+        norms = np.linalg.norm(b, axis=1)
+        b = b[norms > 0]
+        self.bench = (b / np.linalg.norm(b, axis=1, keepdims=True)).T  # (d, k)
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .similarity import _to_matrix
+
+        m = _to_matrix(batch[self.vec_column])
+        if self.bench.shape[1] == 0 or m.size == 0:
+            mx = np.zeros(batch.num_rows)
+        else:
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            np.divide(m, norms, out=m, where=norms > 0)
+            mx = (m @ self.bench).max(axis=1)
+        return batch.append_column("max_benchmark_cos", pa.array(mx, pa.float64()))
+
+
+def semantic_decontam(
+    ds,
+    benchmark,
+    *,
+    threshold: float = 0.95,
+    vec_column: str = "embedding",
+    mark: bool = False,
+    concurrency: int = 2,
+):
+    """Drop (or with ``mark=True`` keep + annotate) rows whose max
+    benchmark cosine is >= ``threshold``. ``benchmark`` is the SMALL
+    side by contract (an eval set's embeddings): it is ``ray.put`` once
+    here and read per actor, never re-shipped per batch."""
+    import ray
+
+    scored = ds.map_batches(
+        EmbeddingDecontaminator,
+        fn_constructor_kwargs={
+            "benchmark": ray.put(np.asarray(benchmark, dtype=np.float64)),
+            "vec_column": vec_column,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        max_restarts=0,
+    )
+    if mark:
+        return scored
+
+    def drop_hits(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["max_benchmark_cos"], threshold)
+        return t.filter(keep).drop_columns(["max_benchmark_cos"])
+
+    return scored.map_batches(drop_hits, batch_format="pyarrow", zero_copy_batch=True)

@@ -179,3 +179,33 @@ def _bottomk_table(t: pa.Table, k: int) -> pa.Table:
         return t
     h = t["_sample_h"].to_numpy().view(np.uint64)
     return t.take(pa.array(np.argpartition(h, k)[:k]))
+
+
+def _add_shuffle_key(batch: pa.Table, *, id_column: str, seed: int) -> pa.Table:
+    if "_shuffle_key" in batch.column_names:
+        raise ValueError("input may not contain a _shuffle_key column")
+    ids = batch[id_column].to_numpy(zero_copy_only=False)
+    h = hash64(ids, seed=seed).view(np.int64)
+    return batch.append_column("_shuffle_key", pa.array(h, pa.int64()))
+
+
+def deterministic_shuffle(ds, *, id_column: str = "doc_id", seed: int = 0):
+    """Global deterministic reshuffle for training order: sort the
+    corpus by ``hash64(id, seed)``. RNG-free, so reruns, engines and
+    block layouts all produce the SAME order (what
+    ``ds.random_shuffle`` cannot promise across runs), and a different
+    ``seed`` gives an independent order for the next epoch. Cost is the
+    one range-partitioned all-to-all sort any global shuffle pays —
+    Ray Data's sort samples key ranges, so the uniform hash keys give
+    balanced partitions by construction."""
+    shuffled = ds.map_batches(
+        _add_shuffle_key,
+        fn_kwargs={"id_column": id_column, "seed": seed},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort("_shuffle_key")
+    return shuffled.map_batches(
+        lambda t: t.drop_columns(["_shuffle_key"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
