@@ -197,13 +197,18 @@ def deterministic_shuffle(ds, *, id_column: str = "doc_id", seed: int = 0):
     ``seed`` gives an independent order for the next epoch. Cost is the
     one range-partitioned all-to-all sort any global shuffle pays —
     Ray Data's sort samples key ranges, so the uniform hash keys give
-    balanced partitions by construction."""
+    balanced partitions by construction. The id column breaks 64-bit
+    hash ties: integer ids can't collide (the mixer is bijective), but
+    STRING ids hash through ``pd.util.hash_array`` first, where the
+    birthday bound expects ~30k colliding pairs at 10^12 rows — without
+    the tie-break their relative order would be engine-dependent,
+    quietly voiding the stability promise."""
     shuffled = ds.map_batches(
         _add_shuffle_key,
         fn_kwargs={"id_column": id_column, "seed": seed},
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).sort("_shuffle_key")
+    ).sort(["_shuffle_key", id_column])
     return shuffled.map_batches(
         lambda t: t.drop_columns(["_shuffle_key"]),
         batch_format="pyarrow",
