@@ -209,3 +209,32 @@ def test_cli_chunk_and_sample_subprocess(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads(r.stdout.strip().splitlines()[-1])["n_kept"] == 7
     assert pq.ParquetDataset(out_s).read().num_rows == 7
+
+
+def test_cli_chunk_refuses_dirty_output(tmp_path):
+    import os
+    import subprocess
+    import sys
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": [0], "text": ["a b c"]}), preserve_index=False
+        ),
+        src,
+    )
+    out = str(tmp_path / "chunks")
+    os.makedirs(out)
+    with open(os.path.join(out, "stale.parquet"), "w") as f:
+        f.write("stale")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "zparse_ray.run", "chunk", "--input", src,
+         "--output", out, "--num-cpus", "2"],
+        cwd=repo, capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode != 0 and "not empty" in (r.stderr + r.stdout)

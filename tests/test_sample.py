@@ -261,3 +261,47 @@ def test_semantic_decontam_zero_norm_rows_kept(ray_session):
         rd.from_arrow(tab), np.array([[1.0, 0.0]]), threshold=0.9
     ).to_pandas()
     assert sorted(out["vec_id"]) == [0]  # zero vector: cos 0, kept; parallel: dropped
+
+
+# --- review-pass regression tests ---
+
+
+def test_hash_sample_rejects_negative_ids(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array([-3, 1], pa.int64())})
+    with pytest.raises(Exception, match="non-negative"):
+        hash_sample(rd.from_arrow(t), 0.5).to_pandas()
+
+
+def test_hash_topk_sample_string_ids_layout_invariant(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array([f"d{i:03d}" for i in range(300)], pa.string())})
+    a = hash_topk_sample(rd.from_arrow(t).repartition(2), 12, seed=4)
+    b = hash_topk_sample(rd.from_arrow(t).repartition(11), 12, seed=4)
+    assert sorted(a["doc_id"].to_pylist()) == sorted(b["doc_id"].to_pylist())
+    assert a.num_rows == 12
+    # helper-column collision is rejected loudly
+    bad = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "_sample_h": pa.array([0], pa.int64())}
+    )
+    with pytest.raises(Exception, match="_sample_h"):
+        hash_topk_sample(rd.from_arrow(bad), 1)
+
+
+def test_semantic_decontam_accepts_1d_benchmark(ray_session):
+    import ray.data as rd
+
+    from zparse_ray.stages.decontam import semantic_decontam
+
+    tab = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float64())),
+        }
+    )
+    out = semantic_decontam(
+        rd.from_arrow(tab), np.array([1.0, 0.0]), threshold=0.9
+    ).to_pandas()
+    assert sorted(out["vec_id"]) == [1]

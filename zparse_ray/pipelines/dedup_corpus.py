@@ -199,6 +199,7 @@ def dedup_corpus(
             read_documents(reference),
             column=text_column,
             method=cross_method,
+            est_rows=n_in,
         )
         n_after_cross = docs.count()
         cross_stats = {"n_cross_dropped": int(n_in - n_after_cross)}

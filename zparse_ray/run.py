@@ -37,6 +37,17 @@ def _write_output(path: str | None, data: str) -> None:
 
 
 
+def _require_clean_dir(out_dir: str) -> None:
+    """Refuse a non-empty output dir (the dedup/clean pipelines' rule):
+    write_parquet adds uniquely-named files BESIDE stale ones, so a
+    reused dir would silently mix two runs and inflate the footer-based
+    counts."""
+    import os
+
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise SystemExit(f"error: output dir {out_dir!r} is not empty — refusing to mix runs")
+
+
 def _parquet_rows(out_dir: str) -> int:
     """Row count of a written parquet directory from file footers (no
     data read)."""
@@ -237,6 +248,7 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.dedup_corpus import read_documents
             from .stages.chunk import chunk_documents
 
+            _require_clean_dir(args.output)
             docs = read_documents(args.input)
             n_docs = docs.count()
             out = chunk_documents(
@@ -260,6 +272,7 @@ def main(argv: list[str] | None = None) -> int:
                 stratified_hash_sample,
             )
 
+            _require_clean_dir(args.output)
             docs = read_documents(args.input)
             if args.k is not None:
                 tab = hash_topk_sample(

@@ -112,7 +112,7 @@ class EmbeddingDecontaminator:
 
         if isinstance(benchmark, ray.ObjectRef):
             benchmark = ray.get(benchmark)
-        b = np.asarray(benchmark, dtype=np.float64)
+        b = np.atleast_2d(np.asarray(benchmark, dtype=np.float64))
         norms = np.linalg.norm(b, axis=1)
         b = b[norms > 0]
         self.bench = (b / np.linalg.norm(b, axis=1, keepdims=True)).T  # (d, k)

@@ -382,10 +382,24 @@ def reference_hash_array(ds, *, column: str = "text") -> np.ndarray:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    acc = np.empty(0, dtype=np.int64)
+    # fold with PERIODIC compaction — a per-batch union1d would re-sort
+    # the whole growing accumulator every iteration (O(B * n log n)
+    # driver CPU); instead buffer raw parts and np.unique only when the
+    # buffered rows exceed the merged size, keeping total work
+    # O(n log n)-ish and peak memory within ~2x of the distinct set
+    merged = np.empty(0, dtype=np.int64)
+    pending: list[np.ndarray] = []
+    n_pending = 0
     for part in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
-        acc = np.union1d(acc, part["content_hash"].to_numpy())
-    return acc
+        arr = part["content_hash"].to_numpy()
+        pending.append(arr)
+        n_pending += len(arr)
+        if n_pending > max(1_000_000, len(merged)):
+            merged = np.unique(np.concatenate([merged, *pending]))
+            pending, n_pending = [], 0
+    if pending:
+        merged = np.unique(np.concatenate([merged, *pending]))
+    return merged
 
 
 def reference_bloom(ds, *, column: str = "text", capacity: int | None = None, fpr: float = 1e-4):
@@ -448,7 +462,8 @@ def cross_corpus_dedup(
     method: str = "broadcast",
     mark: bool = False,
     fpr: float = 1e-4,
-    concurrency: int = 2,
+    concurrency: int | None = None,
+    est_rows: int | None = None,
 ):
     """Drop (or with ``mark=True`` flag) candidate docs whose normalized
     content hash appears in ``reference`` — the incremental-ingestion
@@ -463,11 +478,21 @@ def cross_corpus_dedup(
       of unique candidates are wrongly dropped (documented).
     - ``shuffle`` (exact, both sides unbounded): ONE bucketed co-shuffle
       of (hash, row) via ``joins.bucketed_semi_mark`` — no driver or
-      broadcast state at all; the 10^12 x 10^12 path.
+      broadcast state at all; the 10^12 x 10^12 path. Pass ``est_rows``
+      (candidate row count) so the bucket count scales with the data —
+      without it the semi-mark falls back to a fixed 64 buckets, the
+      multi-GB-single-task failure ``resolve_n_buckets`` exists to fix.
+
+    ``concurrency`` sizes the filter actor pool (broadcast/bloom);
+    default scales with the cluster, capped below total CPUs so the
+    feeding task stages are never starved (the 2-CPU deadlock rule).
     """
     if method in ("broadcast", "bloom"):
         import ray
 
+        if concurrency is None:
+            total_cpus = int(ray.cluster_resources().get("CPU", 3))
+            concurrency = max(1, min(8, total_cpus - 1))
         obj = (
             reference_hash_array(reference, column=column)
             if method == "broadcast"
@@ -499,7 +524,7 @@ def cross_corpus_dedup(
         batch_format="pyarrow", zero_copy_batch=True,
     )
     marked = bucketed_semi_mark(
-        cand, ref, left_on="content_hash", key_col="content_hash"
+        cand, ref, left_on="content_hash", key_col="content_hash", est_rows=est_rows
     )
     if mark:
         def to_bool(t: pa.Table) -> pa.Table:

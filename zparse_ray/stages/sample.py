@@ -51,6 +51,12 @@ def rate_to_ppm(rate: float) -> int:
 
 
 def _ppm_bucket(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Ids must be non-negative: numpy would wrap a negative id to
+    uint64 while the documented DuckDB HUGEINT oracle keeps the
+    dividend's sign (a negative remainder is always < rate_ppm), so
+    parity would silently break — fail loudly instead."""
+    if ids.dtype.kind == "i" and len(ids) and ids.min() < 0:
+        raise ValueError("hash sampling requires non-negative ids (SQL parity)")
     with np.errstate(over="ignore"):
         return ((ids.astype(np.uint64) + np.uint64(seed)) * _KNUTH) % _PPM
 
@@ -134,11 +140,23 @@ def stratified_hash_sample(
     )
 
 
+def _bottomk_idx(h: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k smallest rows under (hash, id) order. The id
+    tie-break keeps the selection block-layout-independent: integer ids
+    can't collide (hash64's mixer is bijective) but string ids hash
+    through ``pd.util.hash_array`` first, where collisions at the k
+    boundary would otherwise make the sample depend on which block a
+    row arrived in."""
+    return np.lexsort((ids, h))[:k]
+
+
 def _bottomk_partial(batch: pa.Table, *, k: int, id_column: str, seed: int) -> pa.Table:
+    if "_sample_h" in batch.column_names:
+        raise ValueError("input may not contain a _sample_h column")
     ids = batch[id_column].to_numpy(zero_copy_only=False)
     h = hash64(ids, seed=seed)
     if len(h) > k:
-        keep = np.argpartition(h, k)[:k]
+        keep = _bottomk_idx(h, ids, k)
         batch = batch.take(pa.array(keep))
         h = h[keep]
     # carry the sort key through the merge as int64 bits (lossless view)
@@ -165,20 +183,21 @@ def hash_topk_sample(ds, k: int, *, id_column: str = "doc_id", seed: int = 0) ->
             continue
         acc = part if acc is None else pa.concat_tables([acc, part])
         if acc.num_rows > 4 * k:
-            acc = _bottomk_table(acc, k)
+            acc = _bottomk_table(acc, k, id_column)
     if acc is None:
         empty = ds.schema()
         return pa.Table.from_arrays(
             [pa.array([], t) for t in empty.types], names=empty.names
         )
-    return _bottomk_table(acc, k).drop_columns(["_sample_h"])
+    return _bottomk_table(acc, k, id_column).drop_columns(["_sample_h"])
 
 
-def _bottomk_table(t: pa.Table, k: int) -> pa.Table:
+def _bottomk_table(t: pa.Table, k: int, id_column: str) -> pa.Table:
     if t.num_rows <= k:
         return t
     h = t["_sample_h"].to_numpy().view(np.uint64)
-    return t.take(pa.array(np.argpartition(h, k)[:k]))
+    ids = t[id_column].to_numpy(zero_copy_only=False)
+    return t.take(pa.array(_bottomk_idx(h, ids, k)))
 
 
 def _add_shuffle_key(batch: pa.Table, *, id_column: str, seed: int) -> pa.Table:
