@@ -305,3 +305,48 @@ def test_semantic_decontam_accepts_1d_benchmark(ray_session):
         rd.from_arrow(tab), np.array([1.0, 0.0]), threshold=0.9
     ).to_pandas()
     assert sorted(out["vec_id"]) == [1]
+
+
+# --- quantile-band filter (stages/stats.py::filter_by_quantile) ---
+
+
+def test_filter_by_quantile_matches_rank_reference(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from zparse_ray.stages.stats import filter_by_quantile
+
+    rng = np.random.default_rng(3)
+    vals = rng.permutation(np.arange(1000)).astype(np.float64)
+    tab = pa.table(
+        {"doc_id": pa.array(np.arange(1000), pa.int64()),
+         "score": pa.array(vals, pa.float64())}
+    )
+    out = filter_by_quantile(
+        rd.from_arrow(tab).repartition(5), "score", lo=0.1, hi=0.9
+    ).to_pandas()
+    # reference thresholds use the engine's quantile_disc rank rule
+    s = np.sort(vals)
+    n = len(s)
+    lo_v = s[math.ceil(0.1 * n) - 1]
+    hi_v = s[math.ceil(0.9 * n) - 1]
+    want = set(np.flatnonzero((vals >= lo_v) & (vals <= hi_v)).tolist())
+    assert set(out["doc_id"]) == want
+
+
+def test_filter_by_quantile_null_handling(ray_session):
+    import ray.data as rd
+
+    from zparse_ray.stages.stats import filter_by_quantile
+
+    tab = pa.table(
+        {"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+         "score": pa.array([1.0, None, 2.0, 3.0], pa.float64())}
+    )
+    dropped = filter_by_quantile(rd.from_arrow(tab), "score").to_pandas()
+    assert sorted(dropped["doc_id"]) == [0, 2, 3]
+    kept = filter_by_quantile(rd.from_arrow(tab), "score", keep_null=True).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 1, 2, 3]
+    with pytest.raises(ValueError, match="lo <= hi"):
+        filter_by_quantile(rd.from_arrow(tab), "score", lo=0.9, hi=0.1)

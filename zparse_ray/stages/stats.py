@@ -542,3 +542,38 @@ def grouped_topk(ds, *, group_col: str, order_col: str, k: int,
         .groupby(group_col)
         .map_groups(partial, batch_format="pandas")
     )
+
+
+def filter_by_quantile(
+    ds,
+    column: str,
+    *,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    keep_null: bool = False,
+    n_bins: int = 1024,
+):
+    """Keep rows whose ``column`` value lies within the corpus's
+    [``lo``, ``hi``] quantile band — the percentile-based quality
+    filter (e.g. drop the worst 10% by LM perplexity: ``lo=0,
+    hi=0.9``). Thresholds come from ``exact_quantiles`` (histogram
+    narrowing — O(log n) streaming passes, never a materialized
+    column), then ONE more streamed filter pass applies them; the band
+    is closed on both ends so exactly the ranked values survive.
+    ``keep_null`` controls rows with null scores (dropped by default)."""
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError(f"need 0 <= lo <= hi <= 1, got lo={lo} hi={hi}")
+    import pyarrow.compute as _pc
+
+    qs = exact_quantiles(ds, column, [lo, hi], n_bins=n_bins)
+    lo_v, hi_v = qs[lo], qs[hi]
+
+    def band(t: pa.Table) -> pa.Table:
+        col = t[column]
+        keep = _pc.and_(
+            _pc.greater_equal(col, lo_v), _pc.less_equal(col, hi_v)
+        )
+        keep = _pc.fill_null(keep, keep_null)
+        return t.filter(keep)
+
+    return ds.map_batches(band, batch_format="pyarrow", zero_copy_batch=True)
