@@ -591,3 +591,32 @@ def test_dedup_corpus_with_reference(ray_session, tmp_path):
         assert stats["n_docs_in"] == 5 and stats["n_docs_out"] == 3, method
         kept = set(pq.ParquetDataset(out).read()["doc_id"].to_pylist())
         assert kept == {11, 13, 14}, method
+
+
+def test_corpus_stats_exact_counts_and_hll(ray_session):
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zparse_ray.pipelines.corpus_stats import corpus_stats
+
+    texts = [f"doc number {i} with five tokens" for i in range(90)]
+    texts += ["dup text"] * 10  # 10 copies -> 91 distinct contents
+    df = pd.DataFrame(
+        {
+            "doc_id": range(100),
+            "text": texts,
+            "lang": ["en"] * 60 + ["de"] * 40,
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4)
+    s = corpus_stats(ds)
+    assert s["n_docs"] == 100
+    assert s["n_tokens"] == 90 * 6 + 10 * 2
+    assert s["by_lang"] == {"en": 60, "de": 40}
+    assert s["n_bytes"] == sum(len(t.encode()) for t in texts)
+    assert abs(s["distinct_content_est"] - 91) <= math.ceil(91 * 0.05)
+    # exact quantiles over n_tokens: 90% of docs have 6 tokens
+    assert s["token_quantiles"]["0.5"] == 6.0 and s["token_quantiles"]["0.1"] == 2.0

@@ -168,6 +168,12 @@ def main(argv: list[str] | None = None) -> int:
     sa.add_argument("--seed", type=int, default=0)
     sa.add_argument("--num-cpus", type=int, default=None)
 
+    st = sub.add_parser("stats", help="profile a documents corpus (one JSON report)")
+    st.add_argument("--input", required=True, help="documents parquet/jsonl/csv")
+    st.add_argument("--text-column", default="text")
+    st.add_argument("--lang-column", default="lang")
+    st.add_argument("--num-cpus", type=int, default=None)
+
     c = sub.add_parser("convert", help="convert one document between formats")
     c.add_argument("--from", dest="from_fmt", default=None)
     c.add_argument("--to", dest="to_fmt", required=True)
@@ -242,6 +248,16 @@ def main(argv: list[str] | None = None) -> int:
                 max_dup_word_frac=args.max_dup_word_frac,
                 max_perplexity=args.max_perplexity,
                 lm_reference=args.lm_reference,
+            )))
+            return 0
+        if args.cmd == "stats":
+            from .pipelines.corpus_stats import corpus_stats
+            from .pipelines.dedup_corpus import read_documents
+
+            print(json.dumps(corpus_stats(
+                read_documents(args.input),
+                text_column=args.text_column,
+                lang_column=args.lang_column,
             )))
             return 0
         if args.cmd == "chunk":
