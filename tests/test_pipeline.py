@@ -620,3 +620,68 @@ def test_corpus_stats_exact_counts_and_hll(ray_session):
     assert abs(s["distinct_content_est"] - 91) <= math.ceil(91 * 0.05)
     # exact quantiles over n_tokens: 90% of docs have 6 tokens
     assert s["token_quantiles"]["0.5"] == 6.0 and s["token_quantiles"]["0.1"] == 2.0
+
+
+def test_full_curation_chain_interop(ray_session, tmp_path):
+    """The pipelines compose: clean -> incremental dedup -> chunk ->
+    deterministic shuffle -> train/eval split, each consuming the
+    previous stage's written output. Locks output-schema interop and
+    row accounting across the whole curation chain."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zparse_ray.pipelines.clean_corpus import clean_corpus
+    from zparse_ray.pipelines.dedup_corpus import dedup_corpus
+    from zparse_ray.stages.chunk import chunk_documents
+    from zparse_ray.stages.sample import deterministic_shuffle
+    from zparse_ray.stages.textops import split_assign_batch
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{j}" for j in range(300)]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(30)]
+    texts[5] = texts[4]          # within-corpus exact dup
+    texts[9] = "ref doc body"    # cross-corpus dup
+    src = str(tmp_path / "raw.parquet")
+    pa.parquet.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64), "text": texts}),
+            preserve_index=False,
+        ),
+        src,
+    )
+    ref = str(tmp_path / "ref.parquet")
+    pa.parquet.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": [900], "text": ["REF doc body "]}),
+            preserve_index=False,
+        ),
+        ref,
+    )
+
+    cleaned = str(tmp_path / "cleaned")
+    c_stats = clean_corpus(src, cleaned, line_min_docs=3)
+    assert c_stats["n_docs_out"] == 30  # nothing boilerplate at min_docs=3
+
+    deduped = str(tmp_path / "deduped")
+    d_stats = dedup_corpus(cleaned, deduped, mode="exact", reference=ref)
+    assert d_stats["n_cross_dropped"] == 1 and d_stats["n_docs_out"] == 28
+
+    docs = rd.read_parquet(deduped)
+    chunks = chunk_documents(docs, chunk_tokens=8, overlap_tokens=2)
+    shuffled = deterministic_shuffle(chunks, seed=3)
+    split = shuffled.map_batches(
+        split_assign_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    # 30 tokens, chunk 8 stride 6: ceil((30-8)/6)+1 = 5 chunks per doc
+    assert len(split) == 28 * 5
+    assert set(split.columns) >= {"doc_id", "chunk_id", "text", "n_tokens", "split"}
+    assert set(split["split"]) <= {"train", "eval"}
+    # shuffle is reproducible end-to-end
+    again = deterministic_shuffle(
+        chunk_documents(rd.read_parquet(deduped), chunk_tokens=8, overlap_tokens=2),
+        seed=3,
+    ).to_pandas()
+    assert again["doc_id"].tolist() == split["doc_id"].tolist()
+    assert again["chunk_id"].tolist() == split["chunk_id"].tolist()
