@@ -413,3 +413,69 @@ def test_ngram_decontam_counts_windows_not_snippets(ray_session):
         rd.from_arrow(tab), ["alpha beta gamma"], n=3, mark=True
     ).to_pandas()
     assert out["n_gram_hits"].tolist() == [2]
+
+
+# --- text normalization (stages/normalize.py) ---
+
+
+def test_normalize_nfc_matches_duckdb():
+    import duckdb
+
+    from zparse_ray.stages.normalize import normalize_batch
+
+    decomposed = "école précis"  # combining accents
+    t = pa.table({"text": pa.array([decomposed, "plain"], pa.string())})
+    got = normalize_batch(t, collapse_ws=False, strip_control=False)["text"].to_pylist()
+    want = [
+        duckdb.sql("SELECT nfc_normalize(?)", params=[s]).fetchone()[0]
+        for s in [decomposed, "plain"]
+    ]
+    import unicodedata
+
+    assert got == want
+    assert got[0] == unicodedata.normalize("NFC", decomposed)
+    assert decomposed != got[0]  # the input really was decomposed
+
+
+def test_normalize_control_and_whitespace():
+    from zparse_ray.stages.normalize import normalize_batch
+
+    t = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "a\x00b\x08c\x7fd",            # controls stripped
+                    "keep\ttabs? no:  one  space",  # tab/space runs -> one space
+                    "line1  \r\n\r\n\r\nline2",     # CRLF runs -> one \n
+                    "  trimmed  ",
+                    None,
+                ],
+                pa.string(),
+            )
+        }
+    )
+    got = normalize_batch(t)["text"].to_pylist()
+    assert got == [
+        "abcd",
+        "keep tabs? no: one space",
+        "line1\nline2",
+        "trimmed",
+        None,
+    ]
+
+
+def test_normalize_dataset_streaming(ray_session):
+    import ray.data as rd
+
+    from zparse_ray.stages.normalize import normalize
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = normalize(docs).to_pandas()
+    assert len(out) == docs.count()
+    # idempotence: normalizing twice is a fixpoint
+    t = pa.table({"text": pa.array(out["text"].tolist(), pa.string())})
+    from zparse_ray.stages.normalize import normalize_batch
+
+    assert normalize_batch(t)["text"].to_pylist() == out["text"].tolist()

@@ -50,6 +50,7 @@ def clean_corpus(
     out_dir: str,
     *,
     text_column: str = "text",
+    normalize_text: bool = False,
     redact_pii: bool = True,
     line_min_docs: int = 2,
     max_dup_word_frac: float | None = None,
@@ -84,6 +85,10 @@ def clean_corpus(
     docs = read_documents(input_path)
     n_in = docs.count()
 
+    if normalize_text:
+        from ..stages.normalize import normalize
+
+        docs = normalize(docs, column=text_column)
     ds = redact(docs, column=text_column) if redact_pii else docs
     if line_min_docs:
         ds = line_dedup(

@@ -132,6 +132,8 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--output", required=True, help="output directory (partitioned parquet)")
     cl.add_argument("--text-column", default="text")
     cl.add_argument("--no-redact", action="store_true", help="skip PII redaction")
+    cl.add_argument("--normalize", action="store_true",
+                    help="NFC + control-char strip + whitespace collapse first")
     cl.add_argument("--line-min-docs", type=int, default=2,
                     help="drop lines appearing in >= N docs (0 disables)")
     cl.add_argument("--max-dup-word-frac", type=float, default=None,
@@ -243,6 +245,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.input,
                 args.output,
                 text_column=args.text_column,
+                normalize_text=args.normalize,
                 redact_pii=not args.no_redact,
                 line_min_docs=args.line_min_docs,
                 max_dup_word_frac=args.max_dup_word_frac,
