@@ -447,6 +447,7 @@ def test_normalize_control_and_whitespace():
                     "a\x00b\x08c\x7fd",            # controls stripped
                     "keep\ttabs? no:  one  space",  # tab/space runs -> one space
                     "line1  \r\n\r\n\r\nline2",     # CRLF runs -> one \n
+                    "mac\rline\x85break",           # lone CR / NEL -> \n, not deleted
                     "  trimmed  ",
                     None,
                 ],
@@ -459,9 +460,36 @@ def test_normalize_control_and_whitespace():
         "abcd",
         "keep tabs? no: one space",
         "line1\nline2",
+        "mac\nline\nbreak",
         "trimmed",
         None,
     ]
+
+
+def test_normalize_nfc_beyond_mn_and_idempotent_splice():
+    import unicodedata
+
+    from zparse_ray.stages.normalize import normalize_batch
+
+    jamo = "\u1100\u1161"          # Hangul jamo: composes with NO Mn char
+    splice = "e\x00\u0301 after"   # control strip splices base+mark
+    t = pa.table({"text": pa.array([jamo, splice, "\u212b"], pa.string())})
+    got = normalize_batch(t)["text"].to_pylist()
+    assert got[0] == unicodedata.normalize("NFC", jamo) == "\uac00"
+    assert got[1].startswith("\u00e9")  # composed despite the spliced NUL
+    assert got[2] == "\u00c5"           # singleton U+212B ANGSTROM -> Å
+    # idempotence: a second pass is a fixpoint
+    t2 = pa.table({"text": pa.array(got, pa.string())})
+    assert normalize_batch(t2)["text"].to_pylist() == got
+
+
+def test_normalize_preserves_large_string_type():
+    from zparse_ray.stages.normalize import normalize_batch
+
+    t = pa.table({"text": pa.array(["plain", "acce\u0301nt"], pa.large_string())})
+    out = normalize_batch(t)
+    assert out.schema.field("text").type == pa.large_string()
+    assert out["text"].to_pylist()[1] == "acc\u00e9nt"
 
 
 def test_normalize_dataset_streaming(ray_session):
@@ -479,3 +507,27 @@ def test_normalize_dataset_streaming(ray_session):
     from zparse_ray.stages.normalize import normalize_batch
 
     assert normalize_batch(t)["text"].to_pylist() == out["text"].tolist()
+
+
+def test_ngram_decontam_rejects_invalid_n():
+    from zparse_ray.stages.decontam import benchmark_ngram_hashes
+
+    with pytest.raises(ValueError, match="n must be"):
+        benchmark_ngram_hashes(["a b c"], n=0)
+
+
+def test_corpus_stats_tolerates_chunk_output_columns(ray_session):
+    """The chunk pipeline's output already carries n_tokens; profiling
+    it must not collide with the helper columns (reviewed bug)."""
+    import ray.data as rd
+
+    from zparse_ray.pipelines.corpus_stats import corpus_stats
+    from zparse_ray.stages.chunk import chunk_documents
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    chunks = chunk_documents(docs, chunk_tokens=16)
+    s = corpus_stats(chunks, lang_column=None)
+    assert s["n_docs"] > 0 and s["token_quantiles"]["0.9"] <= 16.0
+    assert s["n_null_lang"] == 0 and s["by_lang"] == {}

@@ -178,17 +178,24 @@ def benchmark_ngram_hashes(snippets, *, n: int = 13) -> np.ndarray:
     """Sorted distinct polynomial hashes of every n-token window of the
     benchmark snippets (lowercased ``\\w+`` tokens — the MinHasher
     tokenization). Snippets shorter than ``n`` tokens contribute
-    nothing (a document cannot overlap an n-gram that doesn't exist);
-    count them via the return's companion in ``ngram_decontam``'s
-    ``n_short_snippets`` stat if that matters."""
+    nothing (a document cannot overlap an n-gram that doesn't exist) —
+    a warning is logged with their count so the loss is visible."""
+    import logging
+
     import pandas as pd
 
     from .dedup import token_window_hashes
 
-    sh, _, _ = token_window_hashes(
-        pd.Series(list(snippets), dtype=object).fillna(""), n,
-        short_run_fallback=False,
-    )
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    series = pd.Series(list(snippets), dtype=object).fillna("")
+    n_short = int((series.str.lower().str.count(r"\w+") < n).sum())
+    if n_short:
+        logging.getLogger("zparse_ray.decontam").warning(
+            "benchmark_ngram_hashes: %d of %d snippets have < %d tokens "
+            "and contribute no n-grams", n_short, len(series), n,
+        )
+    sh, _, _ = token_window_hashes(series, n, short_run_fallback=False)
     if sh is None or len(sh) == 0:
         return np.empty(0, dtype=np.uint64)
     return np.unique(sh)
@@ -209,6 +216,8 @@ class NgramDecontaminator:
     def __init__(self, gram_hashes, *, n: int = 13, text_col: str = "text"):
         import ray
 
+        if n < 1:
+            raise ValueError(f"n must be >= 1, got {n}")
         if isinstance(gram_hashes, ray.ObjectRef):
             gram_hashes = ray.get(gram_hashes)
         self.grams = np.asarray(gram_hashes, dtype=np.uint64)
