@@ -178,3 +178,72 @@ def test_fuzz_toml_pull_events_differential(doc):
     except ParseError as e:
         root, e_pull = None, (e.check_id, e.offset)
     assert e_dom == e_pull and dom == root, (doc, e_dom, e_pull)
+
+
+# --- property fuzz for the round-4 text operators (batch-level) ---
+
+
+@settings(max_examples=250, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(st.text(max_size=120), min_size=1, max_size=8),
+)
+def test_fuzz_normalize_idempotent_and_null_safe(texts):
+    import pyarrow as pa
+
+    from zparse_ray.stages.normalize import normalize_batch
+
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    once = normalize_batch(t)["text"].to_pylist()
+    t2 = pa.table({"text": pa.array(once, pa.string())})
+    assert normalize_batch(t2)["text"].to_pylist() == once  # fixpoint
+    # no control chars or runs survive in any output
+    for s in once:
+        assert "\r" not in s and "\x00" not in s and "  " not in s
+        assert not s.startswith((" ", "\n")) and not s.endswith((" ", "\n"))
+
+
+@settings(max_examples=250, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(st.text(max_size=200), min_size=1, max_size=6),
+    chunk=st.integers(min_value=1, max_value=20),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.95),
+)
+def test_fuzz_chunk_covers_all_tokens(texts, chunk, overlap_frac):
+    import re
+
+    import pyarrow as pa
+
+    from zparse_ray.stages.chunk import chunk_documents_batch
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    stride = chunk - overlap
+    tok = re.compile(r"[^\t\n\f\r ]+")
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    out = chunk_documents_batch(t, chunk_tokens=chunk, overlap_tokens=overlap)
+    by_doc = {}
+    for did, cid, txt, ntok in zip(
+        out["doc_id"].to_pylist(), out["chunk_id"].to_pylist(),
+        out["text"].to_pylist(), out["n_tokens"].to_pylist(),
+    ):
+        by_doc.setdefault(did, []).append((cid, txt, ntok))
+    for i, text in enumerate(texts):
+        words = tok.findall(text)
+        chunks = sorted(by_doc.get(i, []))
+        if not words:
+            assert chunks == []
+            continue
+        for cid, txt, ntok in chunks:
+            assert len(tok.findall(txt)) == ntok <= chunk
+        # each chunk holds exactly its slice of the doc's token stream
+        flat = [w for cid, txt, _ in chunks for w in tok.findall(txt)]
+        expect = []
+        for cid, _, ntok in chunks:
+            lo = cid * stride
+            expect.extend(words[lo : lo + ntok])
+        assert flat == expect
+        # full coverage: last chunk ends at the last token
+        last_cid, _, last_n = chunks[-1]
+        assert last_cid * stride + last_n == len(words)
