@@ -5,6 +5,7 @@ zparse-cli/src/main.rs — and the `ray job submit` target).
       [--drift-profile FILE] [--no-resume] [--num-cpus N]
   python -m zparse_ray.run synth --docs N --partitions P --out-base DIR
   python -m zparse_ray.run dedup|clean|chunk|sample --input PATH --output DIR [...]
+  python -m zparse_ray.run stats --input PATH
   python -m zparse_ray.run convert --from FMT --to FMT [--input FILE] [--output FILE]
   python -m zparse_ray.run parse [--from FMT] [--input FILE]
 
