@@ -238,3 +238,49 @@ def test_cli_chunk_refuses_dirty_output(tmp_path):
         cwd=repo, capture_output=True, text=True, timeout=240,
     )
     assert r.returncode != 0 and "not empty" in (r.stderr + r.stdout)
+
+
+def test_cli_mix_subprocess(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(path, n, wpd, tag):
+        df = pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": [" ".join(f"{tag}{i}_{j}" for j in range(wpd))
+                     for i in range(n)],
+        })
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    write(a, 50, 10, "a")   # 500 tokens
+    write(b, 20, 5, "b")    # 100 tokens
+    out = str(tmp_path / "mix")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "zparse_ray.run", "mix",
+         "--source", f"a={a}", "--source", f"b={b}",
+         "--weights", "a=1,b=1", "--token-budget", "300",
+         "--output", out, "--num-cpus", "2"],
+        cwd=repo, capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    # b (100 tokens) can't fill its 150-token share: taken whole,
+    # slack refills a -> rate 200/500
+    assert res["sources"]["b"]["taken_whole"] is True
+    assert res["sources"]["b"]["rate_ppm"] == 1_000_000
+    assert res["sources"]["a"]["rate_ppm"] == 400_000
+    assert res["shortfall_tokens"] == 0.0
+    tab = pq.ParquetDataset(out).read()
+    assert res["n_rows"] == tab.num_rows
+    srcs = set(tab["mix_source"].to_pylist())
+    assert srcs == {"a", "b"}
+    assert sorted(tab.column_names) == ["doc_id", "mix_source", "text"]

@@ -51,7 +51,25 @@ def read_documents(input_path: str):
         return rd.read_json(input_path)
     if low.endswith(".csv"):
         return rd.read_csv(input_path)
-    return rd.read_parquet(input_path)
+    # strip pandas schema metadata at the read: it makes pa.Schema
+    # unhashable, so every block otherwise triggers Ray's schema-dedup
+    # warning in the workers (the driver_queries._read precedent)
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    one = input_path
+    if os.path.isdir(input_path):
+        files = sorted(glob.glob(os.path.join(input_path, "**", "*.parquet"),
+                                 recursive=True))
+        if files:
+            one = files[0]
+    try:
+        schema = pq.read_schema(one).remove_metadata()
+    except Exception:
+        return rd.read_parquet(input_path)
+    return rd.read_parquet(input_path, schema=schema)
 
 
 def _keep_ids_exact(docs, id_column: str, text_column: str):

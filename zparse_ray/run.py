@@ -171,6 +171,20 @@ def main(argv: list[str] | None = None) -> int:
     sa.add_argument("--seed", type=int, default=0)
     sa.add_argument("--num-cpus", type=int, default=None)
 
+    mx = sub.add_parser("mix", help="compose corpora into a token-budget mixture")
+    mx.add_argument("--source", action="append", required=True, metavar="NAME=PATH",
+                    help="repeatable: corpus name and parquet/jsonl/csv path")
+    mx.add_argument("--weights", default=None, metavar="NAME=W,NAME=W",
+                    help="relative mixture weights (default: equal)")
+    mx.add_argument("--token-budget", type=float, required=True)
+    mx.add_argument("--output", required=True, help="output directory (partitioned parquet)")
+    mx.add_argument("--id-column", default="doc_id")
+    mx.add_argument("--text-column", default="text")
+    mx.add_argument("--seed", type=int, default=0)
+    mx.add_argument("--no-shuffle", action="store_true",
+                    help="skip the deterministic training-order shuffle")
+    mx.add_argument("--num-cpus", type=int, default=None)
+
     st = sub.add_parser("stats", help="profile a documents corpus (one JSON report)")
     st.add_argument("--input", required=True, help="documents parquet/jsonl/csv")
     st.add_argument("--text-column", default="text")
@@ -253,6 +267,37 @@ def main(argv: list[str] | None = None) -> int:
                 max_perplexity=args.max_perplexity,
                 lm_reference=args.lm_reference,
             )))
+            return 0
+        if args.cmd == "mix":
+            from .pipelines.dedup_corpus import read_documents
+            from .pipelines.mix_corpora import mix_corpora
+
+            _require_clean_dir(args.output)
+            sources = {}
+            for spec in args.source:
+                name, _, path = spec.partition("=")
+                if not name or not path:
+                    print(f"error: --source expects NAME=PATH, got {spec!r}",
+                          file=sys.stderr)
+                    return 2
+                sources[name] = read_documents(path)
+            weights = None
+            if args.weights:
+                weights = {}
+                for part in args.weights.split(","):
+                    key, _, val = part.partition("=")
+                    weights[key.strip()] = float(val)
+            out, stats = mix_corpora(
+                sources, args.token_budget,
+                weights=weights,
+                id_column=args.id_column,
+                text_column=args.text_column,
+                seed=args.seed,
+                shuffle=not args.no_shuffle,
+            )
+            out.write_parquet(args.output)
+            stats["n_rows"] = _parquet_rows(args.output)
+            print(json.dumps(stats))
             return 0
         if args.cmd == "stats":
             from .pipelines.corpus_stats import corpus_stats
