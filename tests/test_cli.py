@@ -276,11 +276,12 @@ def test_cli_mix_subprocess(tmp_path):
     # b (100 tokens) can't fill its 150-token share: taken whole,
     # slack refills a -> rate 200/500
     assert res["sources"]["b"]["taken_whole"] is True
-    assert res["sources"]["b"]["rate_ppm"] == 1_000_000
-    assert res["sources"]["a"]["rate_ppm"] == 400_000
+    assert res["sources"]["b"]["epochs_whole"] == 1
+    assert res["sources"]["a"]["frac_ppm"] == 400_000
     assert res["shortfall_tokens"] == 0.0
     tab = pq.ParquetDataset(out).read()
     assert res["n_rows"] == tab.num_rows
     srcs = set(tab["mix_source"].to_pylist())
     assert srcs == {"a", "b"}
-    assert sorted(tab.column_names) == ["doc_id", "mix_source", "text"]
+    assert sorted(tab.column_names) == ["doc_id", "mix_epoch", "mix_source",
+                                        "text"]

@@ -77,8 +77,10 @@ def test_mix_exact_totals_and_rates(mixed):
     assert stats["sources"]["code"]["tokens_total"] == 80 * 10
     # web share 2000 of 6000 -> 1/3; code share 1000 of 800 -> capped,
     # slack 200 refills web: (2000+200)/6000
-    assert stats["sources"]["code"]["rate_ppm"] == 1_000_000
-    assert stats["sources"]["web"]["rate_ppm"] == round(2200 / 6000 * 1e6)
+    assert stats["sources"]["code"]["epochs_whole"] == 1
+    assert stats["sources"]["code"]["frac_ppm"] == 0
+    assert stats["sources"]["web"]["epochs_whole"] == 0
+    assert stats["sources"]["web"]["frac_ppm"] == round(2200 / 6000 * 1e6)
     assert stats["shortfall_tokens"] == 0.0
 
 
@@ -87,9 +89,10 @@ def test_mix_rows_match_per_source_hash_rule(mixed):
     got = {(r["mix_source"], r["doc_id"]) for r in rows}
     want = set()
     for name, df in (("web", web), ("code", code)):
-        ppm = stats["sources"][name]["rate_ppm"]
+        s = stats["sources"][name]
+        ppm = 1_000_000 if s["epochs_whole"] >= 1 else s["frac_ppm"]
         buck = _ppm_bucket(df["doc_id"].to_numpy(),
-                           _source_seed(name, 7))
+                           _source_seed(f"{name}#e0", 7))
         for i in df["doc_id"].to_numpy()[buck < np.uint64(ppm)]:
             want.add((name, int(i)))
     assert got == want
@@ -98,7 +101,7 @@ def test_mix_rows_match_per_source_hash_rule(mixed):
 
 def test_mix_schema_is_shared_columns_plus_source(mixed):
     _, _, rows, _ = mixed
-    assert set(rows[0]) == {"doc_id", "text", "mix_source"}  # no 'lang'
+    assert set(rows[0]) == {"doc_id", "text", "mix_source", "mix_epoch"}  # no 'lang'
 
 
 def test_mix_interleaving_deterministic_across_layouts(ray_session):
@@ -132,3 +135,35 @@ def test_mix_errors(ray_session):
         {"doc_id": np.array([0], dtype=np.int64), "text": [""]}))
     with pytest.raises(ValueError, match="no source has tokens"):
         mix_corpora({"e": empty}, 100)
+
+
+def test_mix_upsampling_epochs(ray_session):
+    import ray.data as rd
+
+    small = _corpus(30, 10, "s")   # 300 tokens
+    big = _corpus(300, 10, "b")    # 3000 tokens
+    ds, stats = mix_corpora(
+        {"small": rd.from_pandas(small), "big": rd.from_pandas(big)},
+        token_budget=2400, weights={"small": 1.0, "big": 1.0},
+        max_epochs=4, seed=11)
+    # small's 1200-token share = 4x its 300 tokens -> capped at 4 epochs
+    s = stats["sources"]["small"]
+    assert s["rate"] == 4.0 and s["epochs_whole"] == 4 and s["frac_ppm"] == 0
+    assert stats["sources"]["big"]["rate"] == pytest.approx(1200 / 3000)
+    rows = ds.take_all()
+    got_small = [(r["mix_epoch"], r["doc_id"]) for r in rows
+                 if r["mix_source"] == "small"]
+    # four complete passes, each doc once per epoch
+    assert len(got_small) == 4 * 30
+    assert {e for e, _ in got_small} == {0, 1, 2, 3}
+    # fractional source matches the per-epoch hash rule
+    ppm = stats["sources"]["big"]["frac_ppm"]
+    buck = _ppm_bucket(big["doc_id"].to_numpy(), _source_seed("big#e0", 11))
+    want = {int(i) for i in big["doc_id"].to_numpy()[buck < np.uint64(ppm)]}
+    got_big = {r["doc_id"] for r in rows if r["mix_source"] == "big"}
+    assert got_big == want
+
+
+def test_resolve_rates_max_epochs_validation():
+    with pytest.raises(ValueError, match="max_epochs"):
+        resolve_rates({"a": 10}, {"a": 1.0}, 5, max_epochs=0)

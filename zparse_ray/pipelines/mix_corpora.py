@@ -13,6 +13,10 @@ books, 1T tokens total"), in this repo's RNG-free idiom:
   redistributed across the remaining sources by weight, iterating at
   most n_sources times; any budget left when every source is exhausted
   is reported as ``shortfall_tokens`` rather than silently dropped;
+  with ``max_epochs > 1`` a too-small source may instead be REPEATED
+  (floor(rate) whole passes + one fractional sampled pass, each tagged
+  ``mix_epoch`` with independent per-epoch seeds) — the standard
+  upsampling knob for small high-quality corpora;
 - each source is then sampled with the SQL-reproducible Bernoulli hash
   rule (``sample.hash_sample_batch``) under a per-source seed (so the
   same doc_id in two sources draws independently), tagged with a
@@ -46,14 +50,21 @@ from ..stages.textops import token_count_batch
 
 
 def resolve_rates(totals: dict[str, int], weights: dict[str, float],
-                  token_budget: float) -> tuple[dict[str, float], float]:
+                  token_budget: float, *,
+                  max_epochs: int = 1) -> tuple[dict[str, float], float]:
     """Water-filling: per-source keep rates so expected sampled tokens
     hit ``token_budget`` split by ``weights``; a source smaller than
     its share is taken whole and its slack re-split over the rest.
-    Returns ``(rates, shortfall_tokens)``. Pure driver arithmetic over
+    With ``max_epochs > 1`` a too-small source may be REPEATED — its
+    capacity becomes ``total × max_epochs`` and its resolved rate may
+    exceed 1 (e.g. 2.4 = two full passes + a 40% sample), the standard
+    upsampling knob for small high-quality corpora. Returns
+    ``(rates, shortfall_tokens)``. Pure driver arithmetic over
     O(n_sources) numbers — unit-testable without Ray."""
     if token_budget <= 0:
         raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
     bad = [n for n, w in weights.items() if w <= 0]
     if bad:
         raise ValueError(f"weights must be positive, got {bad}")
@@ -62,15 +73,16 @@ def resolve_rates(totals: dict[str, int], weights: dict[str, float],
     pool = float(token_budget)
     while active and pool > 0:
         wsum = sum(weights[n] for n in active)
-        capped = [n for n in active if pool * weights[n] / wsum >= totals[n]]
+        capped = [n for n in active
+                  if pool * weights[n] / wsum >= totals[n] * max_epochs]
         if not capped:
             for n in active:
                 rates[n] = (pool * weights[n] / wsum) / totals[n]
             pool = 0.0
             break
         for n in capped:
-            rates[n] = 1.0
-            pool -= totals[n]
+            rates[n] = float(max_epochs)
+            pool -= totals[n] * max_epochs
         active = [n for n in active if n not in capped]
     return rates, max(pool, 0.0)
 
@@ -92,13 +104,21 @@ def _token_total(ds, text_column: str) -> int:
 
 def mix_corpora(sources: dict, token_budget: float, *,
                 weights: dict[str, float] | None = None,
+                max_epochs: int = 1,
                 id_column: str = "doc_id", text_column: str = "text",
-                source_column: str = "mix_source", seed: int = 0,
+                source_column: str = "mix_source",
+                epoch_column: str = "mix_epoch", seed: int = 0,
                 shuffle: bool = True):
     """Compose ``sources`` (name -> Dataset) into one mixture Dataset.
 
+    With ``max_epochs > 1``, a source whose resolved rate exceeds 1 is
+    emitted as ``floor(rate)`` whole passes plus one fractional-rate
+    sampled pass, each tagged with ``mix_epoch`` and drawing its
+    Bernoulli decisions / interleave keys from a per-(source, epoch)
+    seed — epochs land at independent positions in the training order.
+
     Returns ``(dataset, stats)``; ``stats`` carries per-source exact
-    token totals, resolved rate_ppm, target and expected token counts,
+    token totals, resolved rate, target and expected token counts,
     plus any ``shortfall_tokens``. The result streams — nothing beyond
     O(n_sources) numbers ever reaches the driver."""
     names = list(sources)
@@ -111,7 +131,8 @@ def mix_corpora(sources: dict, token_budget: float, *,
         raise ValueError(f"mix_corpora: no weight for sources {missing}")
 
     totals = {n: _token_total(sources[n], text_column) for n in names}
-    rates, shortfall = resolve_rates(totals, weights, token_budget)
+    rates, shortfall = resolve_rates(totals, weights, token_budget,
+                                     max_epochs=max_epochs)
 
     common = [c for c in sources[names[0]].schema().names
               if all(c in sources[n].schema().names for n in names)]
@@ -120,43 +141,54 @@ def mix_corpora(sources: dict, token_budget: float, *,
             raise ValueError(f"mix_corpora: column {required!r} not shared "
                              f"by every source")
 
-    wsum = sum(weights[n] for n in names)
-    parts, per_source = [], {}
-    for n in names:
-        ppm = rate_to_ppm(rates[n])
-        sseed = _source_seed(n, seed)
-        per_source[n] = {
-            "tokens_total": totals[n],
-            "rate_ppm": ppm,
-            "target_tokens": token_budget * weights[n] / wsum,
-            "expected_tokens": totals[n] * ppm / 1_000_000,
-            "taken_whole": rates[n] >= 1.0,
-        }
-        if ppm == 0:
-            continue
+    def _part(n: str, epoch: int, ppm: int):
+        sseed = _source_seed(f"{n}#e{epoch}", seed)
 
-        def tag(t: pa.Table, *, _n=n, _ppm=ppm, _sseed=sseed) -> pa.Table:
+        def tag(t: pa.Table, *, _n=n, _e=epoch, _ppm=ppm,
+                _sseed=sseed) -> pa.Table:
             # strip pandas/parquet schema metadata so every source's
             # blocks carry the IDENTICAL schema — union/sort otherwise
             # log schema-mismatch noise per bundle (the driver_queries
             # _read precedent)
             t = t.select(common).replace_schema_metadata(None)
-            kept = hash_sample_batch(t, rate_ppm=_ppm, id_column=id_column,
-                                     seed=_sseed)
+            kept = t if _ppm >= 1_000_000 else hash_sample_batch(
+                t, rate_ppm=_ppm, id_column=id_column, seed=_sseed)
             key = hash64(kept[id_column].to_numpy(zero_copy_only=False),
                          seed=_sseed).view(np.int64)
             return kept.append_column(
                 source_column, pa.array([_n] * kept.num_rows, pa.string())
+            ).append_column(
+                epoch_column, pa.array([_e] * kept.num_rows, pa.int32())
             ).append_column("_mix_h", pa.array(key, pa.int64()))
 
-        parts.append(sources[n].map_batches(tag, batch_format="pyarrow"))
+        return sources[n].map_batches(tag, batch_format="pyarrow")
+
+    wsum = sum(weights[n] for n in names)
+    parts, per_source = [], {}
+    for n in names:
+        rate = rates[n]
+        whole = int(rate + 1e-9)
+        frac_ppm = rate_to_ppm(min(max(rate - whole, 0.0), 1.0))
+        per_source[n] = {
+            "tokens_total": totals[n],
+            "rate": rate,
+            "epochs_whole": whole,
+            "frac_ppm": frac_ppm,
+            "target_tokens": token_budget * weights[n] / wsum,
+            "expected_tokens": totals[n] * (whole + frac_ppm / 1_000_000),
+            "taken_whole": rate >= 1.0,
+        }
+        for e in range(whole):
+            parts.append(_part(n, e, 1_000_000))
+        if frac_ppm > 0:
+            parts.append(_part(n, whole, frac_ppm))
 
     if not parts:
         raise ValueError("mix_corpora: every resolved rate is 0 — "
                          "no source has tokens")
     out = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
     if shuffle:
-        out = out.sort(["_mix_h", source_column, id_column])
+        out = out.sort(["_mix_h", source_column, epoch_column, id_column])
     out = out.drop_columns(["_mix_h"])
     stats = {
         "token_budget": token_budget,

@@ -177,6 +177,8 @@ def main(argv: list[str] | None = None) -> int:
     mx.add_argument("--weights", default=None, metavar="NAME=W,NAME=W",
                     help="relative mixture weights (default: equal)")
     mx.add_argument("--token-budget", type=float, required=True)
+    mx.add_argument("--max-epochs", type=int, default=1,
+                    help="allow repeating a too-small source up to N passes")
     mx.add_argument("--output", required=True, help="output directory (partitioned parquet)")
     mx.add_argument("--id-column", default="doc_id")
     mx.add_argument("--text-column", default="text")
@@ -290,6 +292,7 @@ def main(argv: list[str] | None = None) -> int:
             out, stats = mix_corpora(
                 sources, args.token_budget,
                 weights=weights,
+                max_epochs=args.max_epochs,
                 id_column=args.id_column,
                 text_column=args.text_column,
                 seed=args.seed,
