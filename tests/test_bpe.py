@@ -150,3 +150,16 @@ def test_train_bpe_raises_on_empty_corpus(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2], "text": ["", "  "]}))
     with pytest.raises(ValueError, match="no words"):
         train_bpe(ds, n_merges=5)
+
+
+def test_vocab_save_load_roundtrip(tmp_path):
+    vocab = BpeVocab(merges=[("t", "h"), ("th", "e"), ("a", "n")])
+    path = str(tmp_path / "vocab.json")
+    vocab.save(path)
+    back = BpeVocab.load(path)
+    assert back.merges == vocab.merges
+    assert back.encode_word("then") == vocab.encode_word("then")
+    import pytest as _pytest
+    (tmp_path / "bad.json").write_text('{"merges": []}')
+    with _pytest.raises(ValueError, match="not a zparse_ray BPE vocab"):
+        BpeVocab.load(str(tmp_path / "bad.json"))

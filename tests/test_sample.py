@@ -531,3 +531,45 @@ def test_corpus_stats_tolerates_chunk_output_columns(ray_session):
     s = corpus_stats(chunks, lang_column=None)
     assert s["n_docs"] > 0 and s["token_quantiles"]["0.9"] <= 16.0
     assert s["n_null_lang"] == 0 and s["by_lang"] == {}
+
+
+def test_grouped_cap_sample_matches_per_group_bottomk(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zparse_ray.functions.sketches import hash64
+    from zparse_ray.stages.sample import grouped_cap_sample, hash_topk_sample
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": rng.choice(["siteA", "siteB", "siteC", "hotsite"], n,
+                             p=[0.1, 0.1, 0.1, 0.7]),
+        "text": [f"doc {i}" for i in range(n)],
+    })
+    ds = rd.from_pandas(df).repartition(5)
+    out = grouped_cap_sample(ds, 12, group_column="source", seed=9)
+    rows = out.take_all()
+    got = {}
+    for r in rows:
+        got.setdefault(r["source"], set()).add(r["doc_id"])
+    # per-group: exactly min(k, group size) rows, and they are the
+    # group's bottom-k by (hash, id) — the hash_topk_sample order
+    for src, grp in df.groupby("source"):
+        ids = grp["doc_id"].to_numpy()
+        h = hash64(ids, seed=9)
+        want = set(ids[np.lexsort((ids, h))[:12]].tolist())
+        assert got[src] == want, src
+    # nesting parity: the grouped cap agrees with hash_topk_sample run
+    # on one group alone
+    one = rd.from_pandas(df[df["source"] == "hotsite"].reset_index(drop=True))
+    tab = hash_topk_sample(one, 12, seed=9)
+    assert set(tab["doc_id"].to_pylist()) == got["hotsite"]
+    # schema untouched (no helper column), k validation
+    assert set(rows[0]) == {"doc_id", "source", "text"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        grouped_cap_sample(ds, 0, group_column="source")

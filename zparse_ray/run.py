@@ -164,6 +164,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="exact-k uniform sample (bottom-k by hash)")
     g.add_argument("--rate-by", default=None, metavar="G=R,G=R",
                    help="stratified per-group rates, e.g. en=0.5,de=0.1")
+    g.add_argument("--cap", type=int, default=None,
+                   help="keep at most K rows per --group-column group "
+                        "(deterministic per-domain cap)")
     sa.add_argument("--default-rate", type=float, default=0.0,
                     help="rate for groups not listed in --rate-by")
     sa.add_argument("--group-column", default="lang")
@@ -342,7 +345,17 @@ def main(argv: list[str] | None = None) -> int:
 
             _require_clean_dir(args.output)
             docs = read_documents(args.input)
-            if args.k is not None:
+            if args.cap is not None:
+                from .stages.sample import grouped_cap_sample
+
+                out = grouped_cap_sample(
+                    docs, args.cap,
+                    group_column=args.group_column,
+                    id_column=args.id_column, seed=args.seed,
+                )
+                out.write_parquet(args.output)
+                n_kept = _parquet_rows(args.output)
+            elif args.k is not None:
                 tab = hash_topk_sample(
                     docs, args.k, id_column=args.id_column, seed=args.seed
                 )

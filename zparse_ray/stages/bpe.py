@@ -167,9 +167,27 @@ def learn_merges(word_counts: pa.Table, n_merges: int,
 @dataclass
 class BpeVocab:
     """Learned merge list + derived ranks. Small (O(n_merges)) —
-    broadcast via ``ray.put`` and rebuilt per actor."""
+    broadcast via ``ray.put`` and rebuilt per actor; persistable as
+    one JSON artifact (the tokenizer file a training run ships)."""
 
     merges: list = field(default_factory=list)
+
+    def save(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as f:
+            json.dump({"format": "zparse_ray-bpe-v1",
+                       "merges": [list(p) for p in self.merges]}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "BpeVocab":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        if d.get("format") != "zparse_ray-bpe-v1":
+            raise ValueError(f"not a zparse_ray BPE vocab file: {path}")
+        return cls(merges=[tuple(p) for p in d["merges"]])
 
     def ranks(self) -> dict[tuple[str, str], int]:
         return {tuple(p): r for r, p in enumerate(self.merges)}

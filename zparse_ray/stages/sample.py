@@ -233,3 +233,41 @@ def deterministic_shuffle(ds, *, id_column: str = "doc_id", seed: int = 0):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def grouped_cap_sample(ds, k: int, *, group_column: str = "source",
+                       id_column: str = "doc_id", seed: int = 0):
+    """Keep at most ``k`` rows PER GROUP, chosen deterministically as
+    the group's bottom-k by ``hash64(id, seed)`` — the per-domain cap
+    of public crawl pipelines (no single site may dominate the
+    corpus). Within each group this selects EXACTLY the rows
+    ``hash_topk_sample(k)`` would pick from that group alone (same
+    (hash, id) order), so caps are consistent/nested across k and
+    mergeable across corpora.
+
+    Scale shape: reuses ``stats.grouped_topk`` — a per-batch k-per-
+    group combiner, then ONE groupby shuffle of k-sized partials; a
+    hot domain streams through as k x n_blocks rows, never
+    materializing. Groups stay distributed (contrast with
+    ``hash_topk_sample``'s driver fold, which is global-k by
+    contract)."""
+    from .stats import grouped_topk
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        if "_cap_h" in batch.column_names:
+            raise ValueError("input may not contain a _cap_h column")
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        # sign-bit flip: int64 ascending order == uint64 ascending
+        # order, so the grouped bottom-k picks EXACTLY the rows
+        # hash_topk_sample's uint64 lexsort would
+        h = (hash64(ids, seed=seed) ^ np.uint64(1 << 63)).view(np.int64)
+        return batch.append_column("_cap_h", pa.array(h, pa.int64()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    capped = grouped_topk(keyed, group_col=group_column, order_col="_cap_h",
+                          k=k, descending=False, tie_cols=[id_column])
+    return capped.drop_columns(["_cap_h"])
