@@ -20,6 +20,7 @@ CHECKED = [
     "token_counts",
     "exact_dedup",
     "ann_topk",
+    "passage_repeats",
 ]
 
 
@@ -68,6 +69,7 @@ def test_median_value_by_type_matches_oracle(ray_session, con):
 @pytest.mark.parametrize("name,sql_attr", [
     ("orders_status_priority", "_ORDERS_SQL"),
     ("events_daily_counts", "_DAILY_SQL"),
+    ("hll_cardinality", "_HLL_SQL"),
 ])
 def test_retired_registry_queries_match_oracle(ray_session, con, name, sql_attr):
     """orders_status_priority / events_daily_counts were retired from

@@ -24,7 +24,10 @@ orders_status_priority and events_daily_counts were likewise retired
 via q1_pricing_summary / events_per_type; oracle parity pinned in
 tests/test_queries.py::test_retired_registry_queries_match_oracle) to
 free two oracle-backed slots for the LLM-pipeline operators
-repetition_stats and decontam_exact.
+repetition_stats and decontam_exact; hll_cardinality was retired the
+same way (r3 hash-green; the HLL partial/merge machinery stays
+driver-checked via hll_users_by_type, oracle parity pinned in the same
+test) to free a slot for passage_repeats.
 Four approximate operators are
 oracle-checked via the TRUE-boolean pattern (the hll_within_2pct
 precedent): the output carries SQL-reproducible exact facets plus
@@ -1797,6 +1800,74 @@ def doc_fingerprints(sf_dir: str):
     )
 
 
+_PASSAGE_W, _PASSAGE_G = 32, 64
+
+
+def passage_repeats(sf_dir: str):
+    """Cross-document repeated-passage mining (stages/passage.py):
+    MOSS-style winnowing fingerprints -> bucketed fingerprint groupby ->
+    pair counting. Oracle-checked via the TRUE-boolean planted-recall
+    pattern (the embedding_neardup_lsh precedent), and the gate is not
+    probabilistic: the winnowing GUARANTEE says two docs sharing an
+    exact substring of >= window+guarantee-1 bytes share >= 1 winnowed
+    fingerprint, so planting suffix-extended copies of every doc_id<25
+    doc that is at least that long makes 100% planted recall a
+    mathematical invariant — a miss is a bug, never noise. n_planted is
+    SQL-reproducible (strlen() in DuckDB is BYTE length, matching the
+    UTF-8 winnowing buffer).
+
+    Scale shape: base corpus stays a distributed read; only the bounded
+    doc_id<25 seed (parquet row filter) touches the driver; text never
+    shuffles (only (doc_id, fp) int rows); hot fingerprints are capped
+    with NON-SILENT truncation markers."""
+    import ray.data as rd
+
+    from ..stages.passage import passage_pairs
+
+    need = _PASSAGE_W + _PASSAGE_G - 1
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    seed = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 25)],
+    )
+    blen = pc.binary_length(
+        pc.cast(pc.fill_null(seed["text"].combine_chunks(), ""), pa.binary())
+    )
+    seed = seed.filter(pc.greater_equal(blen, need))
+    planted = pa.table(
+        {
+            "doc_id": pc.add(seed["doc_id"], 1_000_000).cast(pa.int64()),
+            "text": pa.array(
+                [s + " <planted-passage-copy>" for s in seed["text"].to_pylist()],
+                pa.string(),
+            ),
+        }
+    )
+    corpus = base.union(rd.from_arrow(planted))
+    rows = passage_pairs(
+        corpus, window=_PASSAGE_W, guarantee=_PASSAGE_G, min_shared=1
+    ).take_all()
+    found = {(int(r["a"]), int(r["b"])) for r in rows if int(r["a"]) >= 0}
+    origin = [int(v) for v in seed["doc_id"].to_pylist()]
+    got = sum(1 for d in origin if (d, d + 1_000_000) in found)
+    return pa.Table.from_pylist(
+        [
+            {
+                "n_planted": len(origin),
+                "planted_recall_x100": int(round(100 * got / max(len(origin), 1))),
+            }
+        ]
+    )
+
+
+_PASSAGE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+       CAST(100 AS BIGINT) AS planted_recall_x100
+FROM documents WHERE doc_id < 25 AND strlen(text) >= 95
+"""
+
+
 def lang_id_agreement(sf_dir: str):
     """Heuristic language-ID vs the labeled lang column: confusion
     counts. Rows-only (the heuristic is engine-defined)."""
@@ -3270,8 +3341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "null_type_hist": null_type_hist,
         "minmax_mean": minmax_mean,
         "distinct_counts": distinct_counts,
-        "hll_cardinality": hll_cardinality,
         "hll_users_by_type": hll_users_by_type,
+        "passage_repeats": passage_repeats,
         "tdigest_quantiles": tdigest_quantiles,
         "events_props_extract": events_props_extract,
         "events_sessionize": events_sessionize,
@@ -3341,7 +3412,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_balance_by_nation": _SUPPLIER_SQL,
         "value_stats_by_type": _STDDEV_SQL,
         "events_sliding_window": _SLIDING_SQL,
-        "hll_cardinality": _HLL_SQL,
+        "passage_repeats": _PASSAGE_SQL,
         "tdigest_quantiles": _TDIGEST_SQL,
         "orders_lineitem_revenue": _BIGJOIN_SQL,
         "ngram_jaccard_neardup": _NGRAM_JACCARD_SQL,
