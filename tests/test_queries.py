@@ -21,6 +21,7 @@ CHECKED = [
     "exact_dedup",
     "ann_topk",
     "passage_repeats",
+    "pack_conservation",
 ]
 
 
@@ -70,6 +71,7 @@ def test_median_value_by_type_matches_oracle(ray_session, con):
     ("orders_status_priority", "_ORDERS_SQL"),
     ("events_daily_counts", "_DAILY_SQL"),
     ("hll_cardinality", "_HLL_SQL"),
+    ("tdigest_quantiles", "_TDIGEST_SQL"),
 ])
 def test_retired_registry_queries_match_oracle(ray_session, con, name, sql_attr):
     """orders_status_priority / events_daily_counts were retired from

@@ -27,7 +27,10 @@ free two oracle-backed slots for the LLM-pipeline operators
 repetition_stats and decontam_exact; hll_cardinality was retired the
 same way (r3 hash-green; the HLL partial/merge machinery stays
 driver-checked via hll_users_by_type, oracle parity pinned in the same
-test) to free a slot for passage_repeats.
+test) to free a slot for passage_repeats, and tdigest_quantiles
+likewise (r3 hash-green; the t-digest partial/merge machinery stays
+driver-checked via its grouped superset tdigest_quantiles_by_type) to
+free a slot for pack_conservation.
 Four approximate operators are
 oracle-checked via the TRUE-boolean pattern (the hll_within_2pct
 precedent): the output carries SQL-reproducible exact facets plus
@@ -1047,6 +1050,73 @@ SELECT lang,
                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
        COUNT(*) AS n_docs
 FROM documents GROUP BY lang
+"""
+
+
+def pack_conservation(sf_dir: str):
+    """Sequence packing (stages/pack.py) driven in BOTH modes over the
+    documents table, gated by its conservation laws — oracle-checked
+    via the TRUE-boolean pattern with an exact SQL facet:
+
+    - total_tokens: whitespace-token total of the corpus (SQL-exact;
+      packing must move EVERY token into some sequence — split mode
+      cuts a joined stream, whole mode packs 512-token chunks whose
+      zero-overlap chunking partitions each doc's tokens);
+    - split_ok / whole_ok: distributed aggregates assert sum(n_tokens)
+      == total AND max(n_tokens) <= seq budget AND pad accounting
+      (pad = budget - n_tokens >= 0) per mode.
+
+    The facets are layout-INDEPENDENT (per-block packing moves where
+    the short boundary sequences fall, never the token sum or the
+    budget bound), so the gate is deterministic across block layouts."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..stages.chunk import chunk_documents
+    from ..stages.pack import pack_sequences
+
+    budget = 2048
+
+    def facets(packed) -> dict:
+        a = packed.aggregate(
+            Sum("n_tokens", alias_name="tot"),
+            Max("n_tokens", alias_name="mx"),
+            Min("pad_tokens", alias_name="pad_lo"),
+            Count(alias_name="n"),
+        )
+        return a
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    split = facets(pack_sequences(docs, seq_tokens=budget, mode="split"))
+    docs2 = _read(sf_dir, "documents", ["doc_id", "text"])
+    whole = facets(
+        pack_sequences(
+            chunk_documents(docs2, chunk_tokens=512), seq_tokens=budget, mode="whole"
+        )
+    )
+    total = int(split["tot"])
+    split_ok = int(split["mx"]) <= budget and int(split["pad_lo"]) >= 0
+    whole_ok = (
+        int(whole["tot"]) == total
+        and int(whole["mx"]) <= budget
+        and int(whole["pad_lo"]) >= 0
+    )
+    return pa.Table.from_pylist(
+        [
+            {
+                "total_tokens": total,
+                "split_ok": bool(split_ok),
+                "whole_ok": bool(whole_ok),
+            }
+        ]
+    )
+
+
+_PACK_SQL = """
+SELECT CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT)
+         AS total_tokens,
+       TRUE AS split_ok, TRUE AS whole_ok
+FROM documents
 """
 
 
@@ -3343,7 +3413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_counts": distinct_counts,
         "hll_users_by_type": hll_users_by_type,
         "passage_repeats": passage_repeats,
-        "tdigest_quantiles": tdigest_quantiles,
+        "pack_conservation": pack_conservation,
         "events_props_extract": events_props_extract,
         "events_sessionize": events_sessionize,
         "events_per_type": events_per_type,
@@ -3413,7 +3483,7 @@ def oracle_sql() -> dict[str, str]:
         "value_stats_by_type": _STDDEV_SQL,
         "events_sliding_window": _SLIDING_SQL,
         "passage_repeats": _PASSAGE_SQL,
-        "tdigest_quantiles": _TDIGEST_SQL,
+        "pack_conservation": _PACK_SQL,
         "orders_lineitem_revenue": _BIGJOIN_SQL,
         "ngram_jaccard_neardup": _NGRAM_JACCARD_SQL,
         "quantiles_by_type": _GROUPQ_SQL,

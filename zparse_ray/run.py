@@ -4,7 +4,7 @@ zparse-cli/src/main.rs — and the `ray job submit` target).
   python -m zparse_ray.run validate --input DIR --output DIR [--round-trip]
       [--drift-profile FILE] [--no-resume] [--num-cpus N]
   python -m zparse_ray.run synth --docs N --partitions P --out-base DIR
-  python -m zparse_ray.run dedup|clean|chunk|sample --input PATH --output DIR [...]
+  python -m zparse_ray.run dedup|clean|chunk|pack|sample --input PATH --output DIR [...]
   python -m zparse_ray.run stats --input PATH
   python -m zparse_ray.run convert --from FMT --to FMT [--input FILE] [--output FILE]
   python -m zparse_ray.run parse [--from FMT] [--input FILE]
@@ -153,6 +153,18 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--text-column", default="text")
     ch.add_argument("--id-column", default="doc_id")
     ch.add_argument("--num-cpus", type=int, default=None)
+
+    pk = sub.add_parser("pack", help="pack documents/chunks into fixed-token training sequences")
+    pk.add_argument("--input", required=True, help="documents parquet/jsonl/csv")
+    pk.add_argument("--output", required=True, help="output directory (partitioned parquet)")
+    pk.add_argument("--seq-tokens", type=int, default=4096)
+    pk.add_argument("--mode", choices=("split", "whole"), default="split",
+                    help="split: concat-and-slice, zero padding; whole: docs stay intact")
+    pk.add_argument("--chunk-tokens", type=int, default=None,
+                    help="whole mode: pre-chunk docs longer than this first")
+    pk.add_argument("--text-column", default="text")
+    pk.add_argument("--id-column", default="doc_id")
+    pk.add_argument("--num-cpus", type=int, default=None)
 
     sa = sub.add_parser("sample", help="deterministic corpus sampling")
     sa.add_argument("--input", required=True, help="documents parquet/jsonl/csv")
@@ -334,6 +346,35 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"n_docs": n_docs, "n_chunks": n_chunks,
                               "chunk_tokens": args.chunk_tokens,
                               "overlap_tokens": args.overlap_tokens}))
+            return 0
+        if args.cmd == "pack":
+            from ray.data.aggregate import Count, Sum
+
+            from .pipelines.dedup_corpus import read_documents
+            from .stages.chunk import chunk_documents
+            from .stages.pack import pack_sequences
+
+            _require_clean_dir(args.output)
+            docs = read_documents(args.input)
+            if args.mode == "whole" and args.chunk_tokens:
+                docs = chunk_documents(
+                    docs, chunk_tokens=args.chunk_tokens,
+                    column=args.text_column, id_column=args.id_column,
+                )
+            out = pack_sequences(
+                docs, seq_tokens=args.seq_tokens, mode=args.mode,
+                column=args.text_column, id_column=args.id_column,
+            )
+            out.write_parquet(args.output)
+            import ray.data as rd
+
+            agg = rd.read_parquet(args.output, columns=["n_tokens", "pad_tokens"]).aggregate(
+                Count(alias_name="n_sequences"),
+                Sum("n_tokens", alias_name="total_tokens"),
+                Sum("pad_tokens", alias_name="pad_tokens"),
+            )
+            agg.update({"seq_tokens": args.seq_tokens, "mode": args.mode})
+            print(json.dumps(agg))
             return 0
         if args.cmd == "sample":
             from .pipelines.dedup_corpus import read_documents
