@@ -317,6 +317,98 @@ def test_simhash_band_search_finds_close_fingerprints():
     assert (0, 3) not in pairs and (0, 4) not in pairs
 
 
+def test_simhash_pigeonhole_recall_guarantee():
+    """Property: ANY two 64-bit fingerprints with hamming distance <= 3
+    land in the same (band_id, band_bits) bucket for at least one of
+    the 4 16-bit bands (pigeonhole: 3 flipped bits cannot dirty 4
+    bands), so the banded search has 100% recall at hamming<=3 — this
+    is the theorem the driver query simhash_neardup relies on."""
+    import itertools
+
+    import pandas as pd
+
+    from zparse_ray.stages.dedup import simhash_band_explode, simhash_candidate_pairs
+
+    rng = np.random.default_rng(0x51A4)
+    bases = rng.integers(0, 2**63, 40, dtype=np.int64)
+    mutants, truth = [], []
+    for i, b in enumerate(bases):
+        nbits = int(rng.integers(0, 4))  # 0..3 flips — all must be recalled
+        bits = rng.choice(64, size=nbits, replace=False)
+        m = np.int64(np.uint64(b) ^ np.bitwise_xor.reduce(
+            np.uint64(1) << bits.astype(np.uint64)) if nbits else np.uint64(b))
+        mutants.append(m)
+        truth.append((i, i + 1000))
+    t = pa.table(
+        {
+            "doc_id": pa.array(
+                list(range(40)) + [i + 1000 for i in range(40)], pa.int64()
+            ),
+            "simhash": pa.array(np.concatenate([bases, np.array(mutants)]), pa.int64()),
+        }
+    )
+    exploded = simhash_band_explode(t).to_pandas()
+    found = set()
+    for _, g in exploded.groupby(["band_id", "band_bits"]):
+        for r in simhash_candidate_pairs(g).to_dict("records"):
+            if r["a"] >= 0:
+                found.add((r["a"], r["b"]))
+    missing = [p for p in truth if p not in found]
+    assert not missing, f"pigeonhole recall violated: {missing}"
+
+
+def test_minhash_lsh_pipeline_recalls_planted_neardups():
+    """End-to-end recall over the exact prep the driver query
+    minhash_lsh_neardup uses: a corpus where the first K docs get a
+    word-drop mutant planted (same mutation rule as _augmented_docs).
+    Every planted pair whose EXACT shingle Jaccard is >= 0.8 must
+    surface as an LSH candidate (16 bands x 8 rows at j>=0.8 has a
+    miss probability < 1e-6 per pair, and the permutations are
+    fixed-seed, so this is deterministic, not flaky)."""
+    import pandas as pd
+
+    from zparse_ray.stages.dedup import (
+        MinHasher,
+        jaccard,
+        lsh_candidate_pairs,
+        shingles,
+    )
+
+    rng = np.random.default_rng(0xFACE)
+    vocab = [f"w{i}" for i in range(500)]
+    # a 1-word drop from an n-token doc keeps ~ (n-9)/n of the 5-token
+    # shingle set, so j >= 0.8 needs n >= ~45 tokens — use 60..120
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(60, 120))))
+        for _ in range(120)
+    ]
+    k_planted = 25
+    mutants = []
+    for t in texts[:k_planted]:
+        words = t.split()
+        del words[len(words) // 2]  # the _augmented_docs mutation rule
+        mutants.append(" ".join(words))
+    all_texts = texts + mutants
+    ids = list(range(120)) + [i + 1_000_000 for i in range(k_planted)]
+    truth = [
+        (i, i + 1_000_000)
+        for i in range(k_planted)
+        if jaccard(shingles(texts[i]), shingles(mutants[i])) >= 0.8
+    ]
+    assert len(truth) >= 10  # the corpus must actually plant real near-dups
+    batch = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(all_texts, pa.string())}
+    )
+    bands = MinHasher()(batch).to_pandas()
+    found = set()
+    for _, g in bands.groupby(["band_id", "band_hash"]):
+        for r in lsh_candidate_pairs(g).to_dict("records"):
+            if r["a"] >= 0:
+                found.add((int(r["a"]), int(r["b"])))
+    missing = [p for p in truth if p not in found]
+    assert not missing, f"LSH missed planted near-dups: {missing}"
+
+
 # -- bucketed shuffle join ---------------------------------------------------
 
 def test_bucketed_shuffle_join_matches_pandas(ray_session):
