@@ -128,6 +128,32 @@ def main():
         dropped = sum(r["n_dropped"] for r in rows if r["a"] == -1)
         return {"pairs": real, "n_dropped": int(dropped), "n_docs": n_base}
 
+    @op
+    def quality_train():
+        # the BASELINE live-drive: plant deterministic junk (label 0)
+        # beside real docs (label 1), hash-sample ~10% for training
+        import numpy as np
+        import pyarrow as pa
+
+        from zparse_ray.stages.quality_clf import train_quality_classifier
+        from zparse_ray.stages.sample import hash_sample
+
+        def label_and_junk(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            junk = (ids % 10) == 3  # deterministic 10% junk rows
+            texts = t["text"].to_pandas().fillna("")
+            texts[junk] = "zz qq zz qq xx " * 20
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "label": pa.array((~junk).astype(np.int64), pa.int64()),
+            })
+
+        train = hash_sample(
+            read().map_batches(label_and_junk, batch_format="pyarrow"), 0.1)
+        model = train_quality_classifier(train, "label", iters=8)
+        return {"nonzero_w": int((model.w != 0).sum())}
+
     names = sys.argv[1:] or list(ops)
     for n in names:
         run(n, ops[n])

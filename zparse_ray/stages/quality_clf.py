@@ -138,18 +138,24 @@ def _evaluate(ds, column: str, label_column: str, dim: int,
 def train_quality_classifier(ds, label_column: str, *,
                              column: str = "text", dim: int = 1 << 16,
                              iters: int = 15, l2: float = 1e-4,
-                             history: int = 8) -> QualityClassifier:
+                             history: int = 8,
+                             materialize_input: bool = True) -> QualityClassifier:
     """L-BFGS over the distributed loss/grad oracle. ``iters`` bounds
     the number of accepted steps; each evaluation (including the <= 4
     Armijo backtracks per step) is one streaming pass over ``ds``.
     Labels are 0/1 in ``label_column`` (1 = high quality).
 
-    Because every evaluation re-executes ``ds``'s upstream plan, pass
-    a BOUNDED training set and ``materialize()`` it first when the
-    upstream is expensive (a read + label + sample chain re-runs ~2-3x
-    per iteration otherwise) — the training side is small by contract
-    (the ``lm_score.train_ngram_lm`` rationale), scoring is the
-    corpus-sized work."""
+    Every evaluation re-executes ``ds``'s plan, and L-BFGS makes ~2-3
+    evaluations per iteration — so by default the input is
+    ``materialize()``d ONCE up front (``materialize_input=True``): the
+    training set is BOUNDED by contract (train on a ``hash_sample``,
+    score the full corpus — the ``lm_score.train_ngram_lm`` rationale),
+    so pinning its blocks in the object store is cheap and turns each
+    later evaluation into a pure map over cached blocks instead of a
+    read + label + sample chain re-run. Pass ``materialize_input=False``
+    only when ``ds`` is already materialized or trivially cheap."""
+    if materialize_input:
+        ds = ds.materialize()
     d = dim + 1  # bias folded into the flat optimization vector
     x = np.zeros(d)
 
