@@ -1121,6 +1121,48 @@ def test_repetition_batch_matches_per_row_reference():
         assert by_id[i][1] == pytest.approx(expect[i][1])
 
 
+def test_ngram_repetition_batch_matches_per_row_reference():
+    """ngram_repetition_batch == a dict-counting per-row reference over
+    the SAME token semantics (_TOKEN lowercased), for every emitted n;
+    rows with fewer than n tokens must be null for that n."""
+    import re
+
+    from zparse_ray.stages.dedup import _TOKEN
+    from zparse_ray.stages.textops import ngram_repetition_batch
+
+    rng = np.random.default_rng(0xA11CE)
+    vocab = ["Alpha", "beta", "GAMMA", "delta", "eps"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+        for _ in range(40)
+    ] + [
+        "a b a b a b a b a b",   # heavy 2-gram repetition
+        "one two three",          # 3 tokens: 3-gram frac defined, 5-gram null
+        "",                       # no tokens: all null
+        "short",                  # 1 token
+    ]
+    top_ns, dup_ns = (2, 3), (5, 7)
+    out = ngram_repetition_batch(_doc_batch(texts), top_ns=top_ns, dup_ns=dup_ns)
+    for n in top_ns + dup_ns:
+        is_top = n in top_ns
+        col = out[f"top_{n}gram_frac" if is_top else f"dup_{n}gram_frac"].to_pylist()
+        for i, txt in enumerate(texts):
+            toks = _TOKEN.findall(txt.lower())
+            wins = [tuple(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            if not wins:
+                assert col[i] is None, (n, i)
+                continue
+            counts = {}
+            for w in wins:
+                counts[w] = counts.get(w, 0) + 1
+            ref = (
+                max(counts.values()) / len(wins)
+                if is_top
+                else 1.0 - len(counts) / len(wins)
+            )
+            assert col[i] == pytest.approx(ref), (n, i, txt)
+
+
 def test_snippet_matcher_counts_distinct_snippets():
     from zparse_ray.stages.decontam import SnippetMatcher
 

@@ -129,6 +129,13 @@ def main():
         return {"pairs": real, "n_dropped": int(dropped), "n_docs": n_base}
 
     @op
+    def ngram_repetition():
+        from zparse_ray.stages.textops import ngram_repetition as nr
+
+        n = nr(read()).count()
+        return {"rows": n}
+
+    @op
     def quality_train():
         # the BASELINE live-drive: plant deterministic junk (label 0)
         # beside real docs (label 1), hash-sample ~10% for training

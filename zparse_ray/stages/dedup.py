@@ -54,7 +54,23 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
-def token_window_hashes(texts, k: int, *, short_run_fallback: bool):
+def token_hash_runs(texts):
+    """Tokenize + hash ONCE for reuse across several window sizes:
+    returns ``(th uint64 | None, counts int64)`` — the flat lowercased
+    ``_TOKEN`` token-hash array and per-doc token counts. Feed the
+    result to ``token_window_hashes(..., pre=...)`` so a multi-n caller
+    (e.g. the n-gram repetition signals) pays one explode, not one per
+    n."""
+    n_docs = len(texts)
+    toks = texts.str.lower().str.findall(_TOKEN)
+    counts = toks.str.len().to_numpy().astype(np.int64)
+    if int(counts.sum()) == 0:
+        return None, np.zeros(n_docs, np.int64)
+    flat = toks.explode().dropna().to_numpy(dtype=object)
+    return hash64(flat), counts
+
+
+def token_window_hashes(texts, k: int, *, short_run_fallback: bool, pre=None):
     """Shared vectorized k-token-window hashing (the MinHasher shingle
     machinery, reusable): lowercase ``_TOKEN`` tokens explode once,
     window hashes come from shared polynomial prefix sums over the flat
@@ -63,16 +79,15 @@ def token_window_hashes(texts, k: int, *, short_run_fallback: bool):
     ``None`` when the batch holds no tokens. With ``short_run_fallback``
     a doc with 0 < tokens < k hashes its full run as one window (the
     ``shingles()`` semantics); without it such docs yield no windows
-    (exact n-gram semantics: a 5-token doc contains no 13-gram)."""
+    (exact n-gram semantics: a 5-token doc contains no 13-gram).
+    ``pre`` takes a ``token_hash_runs(texts)`` result to skip the
+    tokenize+hash pass when calling for several window sizes."""
     from ..stages.textops import _window_poly_hashes
 
     n_docs = len(texts)
-    toks = texts.str.lower().str.findall(_TOKEN)
-    counts = toks.str.len().to_numpy().astype(np.int64)
-    if int(counts.sum()) == 0:
+    th, counts = token_hash_runs(texts) if pre is None else pre
+    if th is None:
         return None, np.empty(0, np.int64), np.zeros(n_docs, np.int64)
-    flat = toks.explode().dropna().to_numpy(dtype=object)
-    th = hash64(flat)
     offsets = np.zeros(n_docs + 1, np.int64)
     np.cumsum(counts, out=offsets[1:])
     short = (counts > 0).astype(np.int64) if short_run_fallback else 0

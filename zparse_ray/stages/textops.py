@@ -292,6 +292,85 @@ def repetition_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     return out.append_column("top_word_frac", pa.array(top_n / tot, pa.float64()))
 
 
+def ngram_repetition_batch(
+    batch: pa.Table,
+    column: str = "text",
+    *,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> pa.Table:
+    """Gopher-style n-gram repetition signals per document — the
+    n-gram generalization of ``repetition_batch``'s word signals:
+    for each n in ``top_ns`` a ``top_{n}gram_frac`` column (count of
+    the most frequent n-token window / total windows) and for each n
+    in ``dup_ns`` a ``dup_{n}gram_frac`` column (1 -
+    distinct_windows/total_windows). High values are the classic
+    templated/boilerplate low-quality signal (Gopher/MassiveText
+    repetition filters, public).
+
+    Semantics notes (deliberate, documented divergences from the
+    Gopher paper's character-fraction definitions): fractions are over
+    TOKEN WINDOWS, not characters (window-count fractions need no
+    per-occurrence character bookkeeping and rank documents the same
+    way), tokens are the shared ``_TOKEN`` lowercased word tokens of
+    the shingle machinery (``dedup.token_window_hashes`` — windows
+    are 64-bit hashes, collision odds ~n_windows^2/2^64, negligible),
+    and a row with fewer than n tokens has no n-windows, so its column
+    is NULL (the word version drops zero-word rows; here each n would
+    drop a different row set, so null keeps the table rectangular).
+
+    Vectorized: ONE token explode shared across all n (the
+    token_window_hashes prefix-sum pass), then per n a lexsort +
+    run-length encode + two reduceat-style grouped reductions — no
+    Python loop over rows, words or windows. Pure per-batch map, zero
+    shuffle at 100 TB."""
+    from .dedup import token_hash_runs, token_window_hashes
+
+    s = batch[column].to_pandas().fillna("")
+    n_docs = len(s)
+    pre = token_hash_runs(s)
+    out = batch
+    for n in tuple(top_ns) + tuple(dup_ns):
+        is_top = n in top_ns
+        name = f"top_{n}gram_frac" if is_top else f"dup_{n}gram_frac"
+        sh, row_of_win, n_win = token_window_hashes(
+            s, n, short_run_fallback=False, pre=pre
+        )
+        vals = np.full(n_docs, np.nan)
+        if sh is not None and len(sh):
+            order = np.lexsort((sh, row_of_win))
+            r, h = row_of_win[order], sh[order]
+            starts = np.concatenate(([True], (r[1:] != r[:-1]) | (h[1:] != h[:-1])))
+            total = n_win.astype(np.float64)
+            has = n_win > 0
+            if is_top:
+                sidx = np.flatnonzero(starts)
+                run_len = np.diff(np.append(sidx, len(r)))
+                run_row = r[sidx]
+                row_start = np.flatnonzero(
+                    np.concatenate(([True], run_row[1:] != run_row[:-1]))
+                )
+                vals[run_row[row_start]] = (
+                    np.maximum.reduceat(run_len, row_start) / total[run_row[row_start]]
+                )
+            else:
+                distinct = np.bincount(r[starts], minlength=n_docs).astype(np.float64)
+                vals[has] = 1.0 - distinct[has] / total[has]
+        # from_pandas=True maps NaN (no n-window rows) to Arrow null
+        out = out.append_column(name, pa.array(vals, pa.float64(), from_pandas=True))
+    return out
+
+
+def ngram_repetition(ds, column: str = "text", **kwargs):
+    """Dataset-level n-gram repetition signals (pure per-batch map)."""
+    return ds.map_batches(
+        ngram_repetition_batch,
+        fn_kwargs={"column": column, **kwargs},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def split_assign_batch(
     batch: pa.Table,
     *,
