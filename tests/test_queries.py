@@ -99,3 +99,14 @@ def test_registry_consistency():
     qs, sqls = dq.queries(), dq.oracle_sql()
     assert set(sqls) <= set(qs)
     assert len(qs) >= 30
+    # the driver checks ~50 queries in registry order (CORRECTNESS_r03
+    # dropped 4 oracle-backed ones past that cap — VERDICT r3 item 1):
+    # every oracle-backed query must PRECEDE every rows-only one, and
+    # the oracle-backed block must fit the cap
+    names = list(qs)
+    first_rows_only = next(
+        (i for i, k in enumerate(names) if k not in sqls), len(names)
+    )
+    stragglers = [k for k in names[first_rows_only:] if k in sqls]
+    assert not stragglers, f"oracle-backed after rows-only: {stragglers}"
+    assert len(sqls) <= 50, "oracle-backed block exceeds the driver's ~50-query cap"

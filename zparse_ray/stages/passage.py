@@ -181,7 +181,8 @@ def _bucket_pairs(group: pd.DataFrame, cap: int) -> pd.DataFrame:
 def passage_pairs(ds, *, column: str = "text", id_column: str = "doc_id",
                   window: int = 32, guarantee: int = 64,
                   min_shared: int = 1, bucket_cap: int = 64,
-                  n_buckets: int | None = None):
+                  n_buckets: int | None = None,
+                  est_rows: int | None = None):
     """Document pairs sharing >= ``min_shared`` winnowed fingerprints
     (i.e. likely sharing that many distinct long exact passages).
     Returns a Dataset of (a, b, n_shared, n_dropped) — rows with
@@ -192,7 +193,11 @@ def passage_pairs(ds, *, column: str = "text", id_column: str = "doc_id",
     one group per fp — the window-family bucketing pattern: one Python
     map_groups call per BUCKET, vectorized over all its fps, instead of
     per-fp dispatch. ``n_buckets`` scales with the fingerprint row
-    estimate (``joins.resolve_n_buckets``) unless given."""
+    estimate (``joins.resolve_n_buckets``) unless given; pass
+    ``est_rows`` (input doc-count estimate) when ``ds`` has an
+    expensive upstream plan — the fallback ``ds.count()`` re-executes
+    that plan once just to size buckets (metadata-only and free for a
+    bare parquet read, a full pass otherwise)."""
     from ray.data.aggregate import Sum
 
     from .joins import resolve_n_buckets
@@ -203,8 +208,11 @@ def passage_pairs(ds, *, column: str = "text", id_column: str = "doc_id",
                    "window": window, "guarantee": guarantee},
         batch_format="pyarrow",
     )
-    est = ds.count()
-    nb = resolve_n_buckets(est * 8 if est else None, n_buckets)
+    if n_buckets is None:
+        est = est_rows if est_rows is not None else ds.count()
+        nb = resolve_n_buckets(est * 8 if est else None, n_buckets)
+    else:
+        nb = n_buckets
 
     def add_bucket(t: pa.Table) -> pa.Table:
         b = (t["fp"].to_numpy().view(np.uint64) % np.uint64(nb)).astype(np.int32)
