@@ -523,6 +523,46 @@ def test_clean_corpus_full_stack(ray_session, tmp_path):
     assert stats2["n_docs_out"] == 30
 
 
+def test_clean_corpus_ngram_caps(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from zparse_ray.pipelines.clean_corpus import clean_corpus
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(300)]
+    texts, ids = [], []
+    for i in range(20):  # varied docs: distinct 5-grams, low repetition
+        texts.append(" ".join(rng.choice(vocab, 60)))
+        ids.append(i)
+    # templated junk: ONE 5-gram phrase looped -> dup_5gram_frac ~ 1
+    for i in range(3):
+        texts.append(" ".join(["alpha beta gamma delta eps"] * 12))
+        ids.append(100 + i)
+    # a 3-token doc: NULL for n=5 (too short) -> must be KEPT
+    texts.append("tiny little doc")
+    ids.append(200)
+    df = pd.DataFrame({"doc_id": np.array(ids, np.int64), "text": texts})
+    src = str(tmp_path / "docs.parquet")
+    pa.parquet.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+
+    out = str(tmp_path / "cleaned")
+    stats = clean_corpus(
+        src, out, redact_pii=False, line_min_docs=0,
+        ngram_caps={"dup_5gram_frac": 0.3},
+    )
+    kept = set(pq.read_table(out)["doc_id"].to_pylist())
+    assert not kept & {100, 101, 102}
+    assert 200 in kept  # short-for-n doc kept (null = no evidence)
+    assert kept >= set(range(20))
+    assert stats["n_docs_out"] == 21
+
+    # bad key rejected loudly
+    with pytest.raises(ValueError, match="ngram_caps keys"):
+        clean_corpus(src, str(tmp_path / "x"), ngram_caps={"dup_word_frac": 0.5})
+
+
 def test_clean_corpus_all_docs_filtered_returns_zero(ray_session, tmp_path):
     """When every doc is dropped (here: one shared line across all
     docs, so boilerplate removal empties them and the repetition

@@ -13,6 +13,12 @@ engine's cleaning operators in their canonical order:
    Gopher-style duplicate-word / top-word fractions; docs above
    ``max_dup_word_frac`` are dropped. Zero-word documents are dropped
    by this filter too (they are junk under any quality policy).
+3b. **N-gram repetition gates** (``stages/textops.ngram_repetition_batch``)
+   — optional ``ngram_caps`` dict of per-signal maxima over the
+   top-2/3/4-gram and dup-5..10-gram fractions; only the requested n's
+   are computed. Docs too short to have n-windows score NULL and are
+   KEPT (no repetition evidence — unlike the word filter's
+   zero-word-drop rule).
 4. **LM perplexity filter** (``stages/lm_score.py``) — optional;
    trains the trigram LM on ``lm_reference`` (a separate trusted
    corpus path) or, failing that, on the input itself, then drops docs
@@ -39,6 +45,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -54,6 +61,7 @@ def clean_corpus(
     redact_pii: bool = True,
     line_min_docs: int = 2,
     max_dup_word_frac: float | None = None,
+    ngram_caps: dict[str, float] | None = None,
     max_perplexity: float | None = None,
     lm_reference: str | None = None,
     concurrency: int = 2,
@@ -103,6 +111,45 @@ def clean_corpus(
             return t.filter(pc.less_equal(t["dup_word_frac"], cap))
 
         ds = ds.map_batches(rep_filter, batch_format="pyarrow")
+
+    if ngram_caps:
+        # Gopher n-gram repetition gates: keys are signal columns
+        # (top_{2,3,4}gram_frac / dup_{5..10}gram_frac), values the max
+        # allowed fraction. Only the needed n's are computed. A doc too
+        # short to have n-windows scores NULL for that n and is KEPT
+        # (no repetition evidence), unlike the word filter's
+        # zero-word-drop rule — word-less docs are junk, short docs
+        # aren't.
+        import re
+
+        from ..stages.textops import ngram_repetition_batch
+
+        key_re = re.compile(r"^(top|dup)_(\d+)gram_frac$")
+        parsed = {k: key_re.match(k) for k in ngram_caps}
+        bad = sorted(k for k, m in parsed.items() if m is None)
+        if bad:
+            raise ValueError(
+                f"ngram_caps keys must be top_Ngram_frac/dup_Ngram_frac, got {bad}"
+            )
+        top_ns = tuple(
+            sorted(int(m.group(2)) for m in parsed.values() if m.group(1) == "top")
+        )
+        dup_ns = tuple(
+            sorted(int(m.group(2)) for m in parsed.values() if m.group(1) == "dup")
+        )
+        caps = {k: float(v) for k, v in ngram_caps.items()}
+
+        def ngram_filter(t: pa.Table) -> pa.Table:
+            t = ngram_repetition_batch(
+                t, text_column, top_ns=top_ns, dup_ns=dup_ns
+            )
+            mask = pa.array(np.ones(t.num_rows, bool))
+            for col, cap_v in caps.items():
+                ok = pc.fill_null(pc.less_equal(t[col], cap_v), True)
+                mask = pc.and_(mask, ok)
+            return t.filter(mask)
+
+        ds = ds.map_batches(ngram_filter, batch_format="pyarrow")
 
     if max_perplexity is not None:
         from ..stages.lm_score import score_perplexity, train_ngram_lm

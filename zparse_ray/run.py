@@ -139,6 +139,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop lines appearing in >= N docs (0 disables)")
     cl.add_argument("--max-dup-word-frac", type=float, default=None,
                     help="drop docs above this duplicate-word fraction")
+    cl.add_argument("--ngram-caps", default=None,
+                    help="Gopher n-gram repetition gates, e.g. "
+                         "'dup_5gram_frac=0.15,top_2gram_frac=0.2'")
     cl.add_argument("--max-perplexity", type=float, default=None,
                     help="drop docs above this trigram-LM perplexity")
     cl.add_argument("--lm-reference", default=None,
@@ -281,6 +284,16 @@ def main(argv: list[str] | None = None) -> int:
                 redact_pii=not args.no_redact,
                 line_min_docs=args.line_min_docs,
                 max_dup_word_frac=args.max_dup_word_frac,
+                ngram_caps=(
+                    {
+                        k: float(v)
+                        for k, v in (
+                            kv.split("=", 1) for kv in args.ngram_caps.split(",")
+                        )
+                    }
+                    if args.ngram_caps
+                    else None
+                ),
                 max_perplexity=args.max_perplexity,
                 lm_reference=args.lm_reference,
             )))
