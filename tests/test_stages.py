@@ -1457,3 +1457,31 @@ def test_ngram_lm_empty_corpus_raises(ray_session):
 
     with pytest.raises(ValueError, match="no tokens"):
         train_ngram_lm(rd.from_arrow(_doc_batch(["", "   ", None])))
+
+
+def test_pair_jaccard_matches_per_row_reference():
+    """pair_jaccard (the distributed minhash-verify kernel) must agree
+    with the per-row shingles()/jaccard() reference on every pair,
+    including empty/short/unicode edge rows."""
+    import numpy as np
+
+    from zparse_ray.stages.dedup import jaccard, pair_jaccard, shingles
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{j}" for j in range(60)] + ["héllo", "naïve", "日本語"]
+    texts_a, texts_b = [], []
+    for _ in range(30):
+        a = list(rng.choice(vocab, rng.integers(0, 30)))
+        # mutate a into b: drop/keep/extend so jaccard spans (0, 1)
+        b = [w for w in a if rng.random() > 0.2] + list(
+            rng.choice(vocab, rng.integers(0, 5))
+        )
+        texts_a.append(" ".join(a))
+        texts_b.append(" ".join(b))
+    # edge rows: both empty, one empty, identical, shorter than k
+    texts_a += ["", "", "same exact text here ok", "one two"]
+    texts_b += ["", "not empty", "same exact text here ok", "one two three"]
+    got = pair_jaccard(texts_a, texts_b, k=5)
+    want = [jaccard(shingles(a, 5), shingles(b, 5)) for a, b in zip(texts_a, texts_b)]
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+    assert pair_jaccard([], []).shape == (0,)
