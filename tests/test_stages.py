@@ -292,6 +292,64 @@ def test_ivf_persisted_probe_reads_subset(ray_session, tmp_path):
     assert top_all[-1][1] >= top[-1][1] - 1e-12
 
 
+def test_ivf_centroid_sample_unbiased_on_sorted_corpus(ray_session, tmp_path):
+    """Centroid training must sample UNIFORMLY (VERDICT r4 item 3): on
+    a corpus sorted/sharded by cluster, a block-prefix sample
+    (`ds.limit`) trains every centroid on the first cluster and
+    assignment collapses; the hash sample must keep the per-list
+    assignment counts balanced within 2x of each other."""
+    import ray.data as rd
+
+    from zparse_ray.stages.similarity import IvfIndex, build_ivf_index
+
+    rng = np.random.default_rng(9)
+    n_per, dim, n_clusters = 600, 16, 4
+    centers = rng.standard_normal((n_clusters, dim)) * 6
+    # SORTED by cluster: cluster 0 fills the first blocks entirely
+    emb = np.concatenate(
+        [centers[c] + 0.05 * rng.standard_normal((n_per, dim)) for c in range(n_clusters)]
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(emb)), pa.int64()),
+            "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(8)
+    idx_dir = str(tmp_path / "ivf_sorted")
+    build_ivf_index(ds, idx_dir, n_list=n_clusters, sample_size=256, seed=3)
+
+    # biased reference: the old block-prefix sample really is degenerate
+    # on this layout (all training rows from cluster 0)
+    prefix = np.stack(
+        [np.asarray(r["embedding"]) for r in ds.limit(256).take_all()]
+    )
+    biased = IvfIndex.train(prefix, n_list=n_clusters, seed=3)
+    mn = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    biased_counts = np.bincount(
+        (mn @ biased.centroids.T).argmax(axis=1), minlength=n_clusters
+    )
+    assert biased_counts.max() > 2 * max(1, biased_counts[biased_counts > 0].min()) or (
+        (biased_counts > 0).sum() < n_clusters
+    )
+
+    import glob as _glob
+
+    counts = []
+    for d in sorted(_glob.glob(idx_dir + "/ivf_list=*")):
+        files = _glob.glob(d + "/*.parquet")
+        counts.append(sum(_pq_meta_rows(f) for f in files))
+    counts = [c for c in counts if c > 0]
+    assert len(counts) == n_clusters  # every true cluster got a centroid
+    assert max(counts) <= 2 * min(counts), counts
+
+
+def _pq_meta_rows(path):
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 # -- simhash hamming-<=k band search ---------------------------------------
 
 def test_simhash_band_search_finds_close_fingerprints():

@@ -40,6 +40,69 @@ from ..state.checkpoint import Manifest, clean_stale_outputs
 _PART_RE = re.compile(r"part-(\d+)\.parquet$")
 
 
+def _write_dup_violations_distributed(meta, dups_ds, cnt_col, out_dir, est_rows):
+    """Bucket-join dup-violation path (VERDICT r4 item 2 — the branch
+    that used to raise): when the dup-id set is too large to broadcast,
+    co-shuffle docmeta with the dup counts via ONE bucketed shuffle
+    join, build violation rows per batch, sort distributedly, and
+    stream O(batch)-sized sorted chunks into the sink file — the
+    driver never holds the dup set. Returns (n_rows, dup_pid_counts)."""
+    from ..stages.joins import bucketed_shuffle_join
+
+    def rename_keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"dup_id": t["doc_id"], "dup_n": pc.cast(t[cnt_col], pa.int64())}
+        )
+
+    keys = dups_ds.map_batches(rename_keys, batch_format="pyarrow")
+    occ = bucketed_shuffle_join(
+        meta, keys, left_on="doc_id", right_on="dup_id", est_rows=est_rows
+    )
+
+    def to_viol(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        det = pc.binary_join_element_wise(
+            pa.array(["doc_id appears"] * n),
+            pc.cast(t["dup_n"], pa.string()),
+            pa.array(["times"] * n),
+            " ",
+        )
+        return pa.table(
+            {
+                "partition_id": pc.cast(t["partition_id"], pa.int32()),
+                "doc_id": t["doc_id"],
+                "span_index": pa.array(np.full(n, -1, np.int32)),
+                "check_id": pa.array([E.DUPLICATE_KEY] * n, pa.string()),
+                "detail": det,
+                "offset": pa.array(np.full(n, -1, np.int32)),
+                "line": pa.array(np.zeros(n, np.int32)),
+                "col": pa.array(np.zeros(n, np.int32)),
+            },
+            schema=VIOLATIONS_SCHEMA,
+        )
+
+    viol = occ.map_batches(to_viol, batch_format="pyarrow").sort(
+        ["partition_id", "doc_id"]
+    )
+    path = os.path.join(out_dir, "violations", "dups.parquet")
+    n_rows = 0
+    dup_pid_counts: dict[int, int] = {}
+    writer = None
+    for b in viol.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        if writer is None:
+            writer = pq.ParquetWriter(path + ".tmp", VIOLATIONS_SCHEMA)
+        writer.write_table(b)
+        n_rows += b.num_rows
+        for p, c in zip(*np.unique(b["partition_id"].to_numpy(), return_counts=True)):
+            dup_pid_counts[int(p)] = dup_pid_counts.get(int(p), 0) + int(c)
+    if writer is not None:
+        writer.close()
+        os.replace(path + ".tmp", path)
+    return n_rows, dup_pid_counts
+
+
 def _merge_partials(a: dict, b: dict) -> dict:
     checks = sorted(set(filter(None, a["checks_failed"].split(","))) | set(filter(None, b["checks_failed"].split(","))))
     ha = _json.loads(a["kind_hist"])
@@ -286,16 +349,24 @@ def run_validation(
             meta = rd.read_parquet(meta_files, columns=["partition_id", "doc_id"])
             counts = meta.groupby("doc_id").count()
             cnt_col = [c for c in counts.schema().names if c != "doc_id"][0]
-            dup_rows = counts.map_batches(
+            # compact (dup_id, count) rows, materialized once: feeds the
+            # size gate AND whichever resolve path runs below
+            dups_ds = counts.map_batches(
                 lambda t: t.filter(pc.greater(t[cnt_col], 1)), batch_format="pyarrow"
-            ).take_all()
-            if len(dup_rows) > max_broadcast_dups:
-                raise RuntimeError("dup set too large for broadcast path; use bucket join")
-            dup_count_of = {r["doc_id"]: r[cnt_col] for r in dup_rows}
-            if sum(dup_count_of.values()) > max_broadcast_dups:
-                raise RuntimeError(
-                    "dup occurrence count too large for driver emission; use bucket join"
+            ).materialize()
+            n_dup_ids = dups_ds.count()
+            total_occ = int(dups_ds.sum(cnt_col) or 0) if n_dup_ids else 0
+            dup_count_of = {}
+            if n_dup_ids > max_broadcast_dups or total_occ > max_broadcast_dups:
+                # bucket-join fallback: the dup set never lands on the
+                # driver; the helper writes the sorted violations file
+                # itself and hands back only O(partitions) counts
+                n_dup_rows, dup_pid_counts = _write_dup_violations_distributed(
+                    meta, dups_ds, cnt_col, out_dir, est_rows=total_meta
                 )
+            elif n_dup_ids:
+                dup_rows = dups_ds.take_all()
+                dup_count_of = {r["doc_id"]: r[cnt_col] for r in dup_rows}
             if dup_count_of:
                 dup_set_ref = ray.put(pa.array(sorted(dup_count_of), pa.string()))
 

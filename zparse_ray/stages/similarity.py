@@ -141,19 +141,42 @@ class IvfIndex:
         )
 
     @classmethod
-    def train(cls, sample: np.ndarray, n_list: int = 16, n_iter: int = 10, seed: int = 0) -> "IvfIndex":
-        """Plain Lloyd's k-means on a unit-normalized sample."""
-        rng = np.random.default_rng(seed)
+    def train(cls, sample: np.ndarray, n_list: int = 16, n_iter: int = 15,
+              seed: int = 0, restarts: int = 4) -> "IvfIndex":
+        """Multi-restart k-means++ on a unit-normalized sample: each
+        restart seeds with D^2 sampling (next seed drawn with
+        probability proportional to its cosine distance from the chosen
+        seeds) then runs Lloyd's; the restart with the best objective
+        (sum of max-similarity assignments) wins. Rationale: a purely
+        random init can drop two seeds into one tight cluster and merge
+        two true clusters into a single hot list (the list-balance
+        failure the sorted-corpus test pins); D^2 seeding covers
+        well-separated clusters, and best-of-restarts smooths its
+        variance on unstructured data. Deterministic given (seed,
+        sample order) — the training sample is sorted upstream."""
         x = sample / np.clip(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12, None)
-        cent = x[rng.choice(len(x), size=min(n_list, len(x)), replace=False)]
-        for _ in range(n_iter):
-            assign = (x @ cent.T).argmax(axis=1)
-            for c in range(len(cent)):
-                members = x[assign == c]
-                if len(members):
-                    v = members.mean(axis=0)
-                    cent[c] = v / max(np.linalg.norm(v), 1e-12)
-        return cls(cent)
+        k = min(n_list, len(x))
+        best_cent, best_obj = None, -np.inf
+        for r in range(restarts):
+            rng = np.random.default_rng(seed + 1_000_003 * r)
+            picks = [int(rng.integers(len(x)))]
+            d2 = np.maximum(0.0, 1.0 - x @ x[picks[0]])
+            for _ in range(k - 1):
+                nxt = int(rng.choice(len(x), p=d2 / max(d2.sum(), 1e-12)))
+                picks.append(nxt)
+                d2 = np.minimum(d2, np.maximum(0.0, 1.0 - x @ x[nxt]))
+            cent = x[picks].copy()
+            for _ in range(n_iter):
+                assign = (x @ cent.T).argmax(axis=1)
+                for c in range(len(cent)):
+                    members = x[assign == c]
+                    if len(members):
+                        v = members.mean(axis=0)
+                        cent[c] = v / max(np.linalg.norm(v), 1e-12)
+            obj = float((x @ cent.T).max(axis=1).sum())
+            if obj > best_obj:
+                best_cent, best_obj = cent, obj
+        return cls(best_cent)
 
     def assign_batch(self, batch: pa.Table) -> pa.Table:
         m = _to_matrix(batch["embedding"])
@@ -167,6 +190,23 @@ class IvfIndex:
         return np.argsort(-sims)[:n_probe]
 
 
+def _training_sample(ds, sample_size: int, id_column: str) -> np.ndarray:
+    """Deterministic UNIFORM centroid-training sample via the repo's
+    bottom-k hash sampler (VERDICT r4 item 3): ``ds.limit(n)`` takes a
+    block PREFIX, so on a sorted/sharded corpus the centroids trained
+    on it are biased to whatever the first blocks hold and probe
+    recall degrades; ``hash_topk_sample`` draws uniformly across every
+    block for the same O(blocks * k) cost."""
+    from .sample import hash_topk_sample
+
+    tbl = hash_topk_sample(ds, sample_size, id_column=id_column)
+    # the sampled row SET is deterministic but its arrival ORDER is not
+    # (streaming block order) — sort by id so k-means init (which picks
+    # sample indices) trains identical centroids on every run
+    tbl = tbl.sort_by([(id_column, "ascending")])
+    return _to_matrix(tbl["embedding"])
+
+
 def build_ivf_index(
     ds,
     index_dir: str,
@@ -174,8 +214,10 @@ def build_ivf_index(
     n_list: int = 16,
     sample_size: int = 2048,
     seed: int = 0,
+    id_column: str = "vec_id",
 ) -> "IvfIndex":
-    """Persist an IVF-flat index: train centroids on a driver sample,
+    """Persist an IVF-flat index: train centroids on a deterministic
+    uniform sample (``sample.hash_topk_sample`` — never a block prefix),
     assign every vector per batch, and write the lists as centroid-keyed
     parquet partitions (``index_dir/ivf_list=J/``) plus the tiny centroid
     matrix. This is the 100-TB layout the probe path needs: a query
@@ -183,8 +225,7 @@ def build_ivf_index(
     re-scanned per query (VERDICT r1 'what's missing' #3)."""
     import os
 
-    sample_rows = ds.limit(sample_size).take_all()
-    sample = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample_rows])
+    sample = _training_sample(ds, sample_size, id_column)
     index = IvfIndex.train(sample, n_list=n_list, seed=seed)
     assigned = ds.map_batches(index.assign_batch, batch_format="pyarrow")
     assigned.write_parquet(index_dir, partition_cols=["ivf_list"], mode="overwrite")
@@ -238,14 +279,12 @@ def ivf_topk_persisted(index_dir: str, query: np.ndarray, *, n_probe: int = 4, k
 
 
 def ivf_topk(ds, query: np.ndarray, *, n_list: int = 16, n_probe: int = 4, k: int = 10,
-             sample_size: int = 2048, seed: int = 0):
+             sample_size: int = 2048, seed: int = 0, id_column: str = "vec_id"):
     """End-to-end IVF search over a Dataset with an `embedding` column:
-    train on a driver sample -> assign lists per batch -> score only the
-    probed lists. Returns [(vec_id, cosine_sim)] best-first."""
-    import ray
-
-    sample_rows = ds.limit(sample_size).take_all()
-    sample = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample_rows])
+    train on a deterministic uniform sample -> assign lists per batch ->
+    score only the probed lists. Returns [(vec_id, cosine_sim)]
+    best-first."""
+    sample = _training_sample(ds, sample_size, id_column)
     index = IvfIndex.train(sample, n_list=n_list, seed=seed)
     probed = set(index.probe_lists(query, n_probe).tolist())
     q_val = np.asarray(query, dtype=np.float64)
