@@ -163,3 +163,27 @@ def test_vocab_save_load_roundtrip(tmp_path):
     (tmp_path / "bad.json").write_text('{"merges": []}')
     with _pytest.raises(ValueError, match="not a zparse_ray BPE vocab"):
         BpeVocab.load(str(tmp_path / "bad.json"))
+
+
+def test_learn_merges_never_emits_duplicates():
+    """A later merge can recreate an emitted pair's adjacency and the
+    delta bookkeeping re-adds it to pair_counts; selection must skip it
+    (ADVICE r4). Small-alphabet random corpora with heavy repetition
+    exercise symbol-concatenation collisions far more than real text."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    for trial in range(8):
+        words = {}
+        for _ in range(60):
+            w = "".join(rng.choice(list("aab"), rng.integers(2, 9)))
+            words[w] = words.get(w, 0) + int(rng.integers(1, 20))
+        merges = learn_merges(_wc_table(words), 60, min_pair_count=1)
+        assert len(merges) == len(set(merges)), (trial, merges)
+
+
+def test_ranks_keeps_first_occurrence_for_duplicate_merges():
+    from zparse_ray.stages.bpe import BpeVocab
+
+    v = BpeVocab(merges=[("a", "b"), ("c", "d"), ("a", "b")])
+    assert v.ranks()[("a", "b")] == 0

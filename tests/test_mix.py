@@ -167,3 +167,32 @@ def test_mix_upsampling_epochs(ray_session):
 def test_resolve_rates_max_epochs_validation():
     with pytest.raises(ValueError, match="max_epochs"):
         resolve_rates({"a": 10}, {"a": 1.0}, 5, max_epochs=0)
+
+
+def test_mix_rejects_helper_column_collisions(ray_session):
+    """Inputs already carrying _mix_h / mix_source / mix_epoch would get
+    DUPLICATE Arrow column names (silent sort-key corruption) — refuse
+    loudly instead (ADVICE r4, the grouped_cap_sample guard precedent)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from zparse_ray.pipelines.mix_corpora import mix_corpora
+
+    def mk(extra=None):
+        df = pd.DataFrame({
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": ["one two three"] * 5,
+        })
+        if extra:
+            df[extra] = 0
+        return rd.from_pandas(df)
+
+    for bad in ("_mix_h", "mix_source", "mix_epoch"):
+        with pytest.raises(ValueError, match="collide"):
+            mix_corpora({"a": mk(bad), "b": mk()}, token_budget=10)
+    # custom tag names shift the guard with them
+    with pytest.raises(ValueError, match="collide"):
+        mix_corpora({"a": mk("origin")}, token_budget=10,
+                    source_column="origin")

@@ -68,11 +68,26 @@ def test_whole_mode_invariants():
     # each sequence's count is the exact member sum
     for l, v in zip(lists, n_tok):
         assert v == sum(_ntok(texts[d]) for d in l)
-    # next-fit guarantee: all but the last sequence are > half full
-    assert all(v * 2 > S for v in n_tok[:-1])
+    # the REAL next-fit guarantee is pairwise (ADVICE r4): consecutive
+    # sequences together exceed the budget (>= 50% average utilization);
+    # an individual non-final sequence may legitimately be under half
+    assert all(a + b > S for a, b in zip(n_tok, n_tok[1:]))
     # documents intact in the packed text
     for l, txt in zip(lists, out["text"].to_pylist()):
         assert txt == " ".join(texts[d] for d in l)
+
+
+def test_whole_mode_under_half_nonfinal_sequence_is_legal():
+    """The ADVICE r4 counterexample pinned: docs of 20 then 50 tokens at
+    budget 64 yield a 20-token NON-final sequence — next-fit only
+    guarantees the pairwise bound, and the packer must not be 'fixed'
+    to avoid this (reordering would break contiguous provenance)."""
+    texts = ["x " * 20, "y " * 50]
+    out = pack_batch(_mk(texts), seq_tokens=S, mode="whole")
+    n_tok = out["n_tokens"].to_pylist()
+    assert n_tok == [20, 50]
+    assert n_tok[0] * 2 <= S  # under half full, and not the last
+    assert n_tok[0] + n_tok[1] > S  # the real bound still holds
 
 
 def test_whole_mode_oversize_raises():
@@ -120,6 +135,10 @@ def test_dataset_level_pack(ray_session):
     flat = sorted(d for r in out for d in r["doc_ids"])
     assert flat == list(range(200))  # exactly-once coverage across blocks
     assert all(r["n_tokens"] <= S for r in out)
-    # per-block packing: at most one <=half-full sequence per block
-    short = sum(1 for r in out if r["n_tokens"] * 2 <= S)
-    assert short <= 4
+    # the pairwise next-fit bound, checked per block (ADVICE r4):
+    # seq_in_batch resets to 0 at each block boundary, so consecutive
+    # rows with increasing seq_in_batch belong to the same block and
+    # must jointly exceed the budget
+    for prev, cur in zip(out, out[1:]):
+        if cur["seq_in_batch"] == prev["seq_in_batch"] + 1:
+            assert prev["n_tokens"] + cur["n_tokens"] > S

@@ -1915,8 +1915,18 @@ def passage_repeats(sf_dir: str):
         }
     )
     corpus = base.union(rd.from_arrow(planted))
+    # bucket_cap effectively unbounded (ADVICE r4): the default cap of
+    # 64 docs/fingerprint could truncate a planted pair's single
+    # guaranteed shared fingerprint out of a hot-boilerplate bucket,
+    # turning the mathematical-recall gate into noise; est_rows from
+    # parquet metadata keeps bucket sizing from re-executing the plan
+    n_est = (
+        pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+        + planted.num_rows
+    )
     rows = passage_pairs(
-        corpus, window=_PASSAGE_W, guarantee=_PASSAGE_G, min_shared=1
+        corpus, window=_PASSAGE_W, guarantee=_PASSAGE_G, min_shared=1,
+        bucket_cap=1 << 30, est_rows=n_est,
     ).take_all()
     found = {(int(r["a"]), int(r["b"])) for r in rows if int(r["a"]) >= 0}
     origin = [int(v) for v in seed["doc_id"].to_pylist()]

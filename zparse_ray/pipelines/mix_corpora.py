@@ -140,6 +140,18 @@ def mix_corpora(sources: dict, token_budget: float, *,
         if required not in common:
             raise ValueError(f"mix_corpora: column {required!r} not shared "
                              f"by every source")
+    # helper/tag columns are appended per batch: an input already
+    # carrying one would produce DUPLICATE Arrow column names and
+    # silently corrupt the sort key / drop_columns (ADVICE r4; the
+    # grouped_cap_sample _cap_h guard precedent)
+    all_in = {c for n in names for c in sources[n].schema().names}
+    clash = sorted(all_in & {"_mix_h", source_column, epoch_column})
+    if clash:
+        raise ValueError(
+            f"mix_corpora: input column(s) {clash} collide with the "
+            f"mixture's helper/tag columns — rename them or pass "
+            f"different source_column/epoch_column names"
+        )
 
     def _part(n: str, epoch: int, ppm: int):
         sseed = _source_seed(f"{n}#e{epoch}", seed)

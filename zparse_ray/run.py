@@ -379,13 +379,23 @@ def main(argv: list[str] | None = None) -> int:
                 column=args.text_column, id_column=args.id_column,
             )
             out.write_parquet(args.output)
+            import glob as _glob
+
             import ray.data as rd
 
-            agg = rd.read_parquet(args.output, columns=["n_tokens", "pad_tokens"]).aggregate(
-                Count(alias_name="n_sequences"),
-                Sum("n_tokens", alias_name="total_tokens"),
-                Sum("pad_tokens", alias_name="pad_tokens"),
-            )
+            # an all-empty/whitespace corpus packs to zero rows and may
+            # write no parquet files — a valid outcome, not a crash
+            # (the clean_corpus precedent; ADVICE r4)
+            if _glob.glob(f"{args.output}/*.parquet"):
+                agg = rd.read_parquet(
+                    args.output, columns=["n_tokens", "pad_tokens"]
+                ).aggregate(
+                    Count(alias_name="n_sequences"),
+                    Sum("n_tokens", alias_name="total_tokens"),
+                    Sum("pad_tokens", alias_name="pad_tokens"),
+                )
+            else:
+                agg = {"n_sequences": 0, "total_tokens": 0, "pad_tokens": 0}
             agg.update({"seq_tokens": args.seq_tokens, "mode": args.mode})
             print(json.dumps(agg))
             return 0

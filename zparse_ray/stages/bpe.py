@@ -133,13 +133,28 @@ def learn_merges(word_counts: pa.Table, n_merges: int,
             where.setdefault(p, set()).add(i)
 
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        if not pair_counts:
+    emitted: set[tuple[str, str]] = set()
+    while len(merges) < n_merges:
+        # a later merge can recreate an already-emitted pair's adjacency
+        # (a merged symbol concatenating to equal one of its sides) and
+        # the delta bookkeeping re-adds it; emitting it twice would let
+        # ranks() shift the merge to its LAST rank and desync the
+        # encoder from the trainer (ADVICE r4) — drop such re-entries
+        best = None
+        while pair_counts:
+            cand = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+            if pair_counts[cand] < min_pair_count:
+                break
+            if cand in emitted:
+                pair_counts.pop(cand, None)
+                where.pop(cand, None)
+                continue
+            best = cand
             break
-        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
-        if pair_counts[best] < min_pair_count:
+        if best is None:
             break
         merges.append(best)
+        emitted.add(best)
         for i in sorted(where.get(best, ())):
             old = _word_pairs(words[i])
             words[i] = _merge_symbols(words[i], best)
@@ -190,7 +205,13 @@ class BpeVocab:
         return cls(merges=[tuple(p) for p in d["merges"]])
 
     def ranks(self) -> dict[tuple[str, str], int]:
-        return {tuple(p): r for r, p in enumerate(self.merges)}
+        # first occurrence wins defensively: learn_merges never emits a
+        # pair twice, but a hand-built/deserialized merge list might,
+        # and the trainer applied such a pair at its FIRST rank
+        out: dict[tuple[str, str], int] = {}
+        for r, p in enumerate(self.merges):
+            out.setdefault(tuple(p), r)
+        return out
 
     def encode_word(self, word: str,
                     _ranks: dict | None = None) -> list[str]:

@@ -17,10 +17,13 @@ Two standard flavors, both per-batch maps (zero shuffle):
   CONTIGUOUS run of input rows, so provenance is a range and input
   locality (e.g. overlap continuity from chunking, curriculum order
   from ``deterministic_shuffle``) is preserved. Since every row is
-  <= ``seq_tokens`` (enforced loudly — pre-chunk oversize docs), each
-  sequence except possibly the batch's last is > ``seq_tokens/2``
-  full: the classic next-fit utilization bound, reported per sequence
-  as ``pad_tokens`` (never silent). The only Python loop is over
+  <= ``seq_tokens`` (enforced loudly — pre-chunk oversize docs), the
+  next-fit guarantee is PAIRWISE: any two CONSECUTIVE sequences in a
+  batch together exceed ``seq_tokens`` (the first doc of sequence
+  k+1 did not fit into sequence k), i.e. >= 50% average utilization —
+  an individual sequence CAN be under half full (e.g. docs of 20 then
+  50 tokens at budget 64). Padding is reported per sequence as
+  ``pad_tokens`` (never silent). The only Python loop is over
   BINS (one ``searchsorted`` each), i.e. ``seq_tokens/avg_row_tokens``
   times fewer iterations than rows — bin-level, not row-level,
   dispatch.
