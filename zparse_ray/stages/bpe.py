@@ -47,13 +47,14 @@ import pandas as pd
 import pyarrow as pa
 
 from .textops import _BPEISH
+from .textops import arrow_text_series
 
 
 # ---------------------------------------------------------------- train
 
 def _word_count_partial(batch: pa.Table, column: str) -> pa.Table:
     """Per-batch pre-aggregated (word, n) partial counts."""
-    s = batch[column].to_pandas().fillna("")
+    s = arrow_text_series(batch[column])
     words = s.str.findall(_BPEISH).explode().dropna()
     if len(words) == 0:
         return pa.table({"word": pa.array([], pa.string()),
@@ -276,7 +277,7 @@ class BpeEncoder:
         return n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        s = batch[self.text_col].to_pandas().fillna("")
+        s = arrow_text_series(batch[self.text_col])
         words = s.str.findall(_BPEISH)
         n_per_row = words.str.len().to_numpy().astype(np.int64)
         out = np.zeros(batch.num_rows, np.int64)

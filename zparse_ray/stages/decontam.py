@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from .textops import arrow_text_series
 
 
 class SnippetMatcher:
@@ -227,7 +228,7 @@ class NgramDecontaminator:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .dedup import token_window_hashes
 
-        texts = batch[self.text_col].to_pandas().fillna("")
+        texts = arrow_text_series(batch[self.text_col])
         hits = np.zeros(batch.num_rows, np.int64)
         sh, row_of_win, _ = token_window_hashes(
             texts, self.n, short_run_fallback=False

@@ -26,15 +26,19 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.sketches import hash64
+from .textops import arrow_text_series
 
 _TOKEN = re.compile(r"\w+")
 
 
 def content_hash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
-    """Exact-dedup key: stable 64-bit hash of the normalized text."""
-    s = batch[column].to_pandas().fillna("").str.strip().str.lower()
+    """Exact-dedup key: stable 64-bit hash of the normalized text
+    (shared prep path; see ``textops.arrow_text_series`` for the
+    measured pandas-vs-Arrow kernel choice)."""
+    s = arrow_text_series(batch[column], lower=True).str.strip()
     h = hash64(s.to_numpy(dtype=object)).astype(np.int64)
     return batch.append_column("content_hash", pa.array(h, pa.int64()))
 
@@ -54,15 +58,17 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
-def token_hash_runs(texts):
+def token_hash_runs(texts, *, lowered: bool = False):
     """Tokenize + hash ONCE for reuse across several window sizes:
     returns ``(th uint64 | None, counts int64)`` — the flat lowercased
     ``_TOKEN`` token-hash array and per-doc token counts. Feed the
     result to ``token_window_hashes(..., pre=...)`` so a multi-n caller
     (e.g. the n-gram repetition signals) pays one explode, not one per
-    n."""
+    n. Pass ``lowered=True`` when the series was already lowercased
+    (e.g. by ``arrow_text_series(..., lower=True)``) to skip the
+    per-element pandas lowering pass."""
     n_docs = len(texts)
-    toks = texts.str.lower().str.findall(_TOKEN)
+    toks = (texts if lowered else texts.str.lower()).str.findall(_TOKEN)
     counts = toks.str.len().to_numpy().astype(np.int64)
     if int(counts.sum()) == 0:
         return None, np.zeros(n_docs, np.int64)
@@ -70,7 +76,8 @@ def token_hash_runs(texts):
     return hash64(flat), counts
 
 
-def token_window_hashes(texts, k: int, *, short_run_fallback: bool, pre=None):
+def token_window_hashes(texts, k: int, *, short_run_fallback: bool, pre=None,
+                        lowered: bool = False):
     """Shared vectorized k-token-window hashing (the MinHasher shingle
     machinery, reusable): lowercase ``_TOKEN`` tokens explode once,
     window hashes come from shared polynomial prefix sums over the flat
@@ -85,7 +92,7 @@ def token_window_hashes(texts, k: int, *, short_run_fallback: bool, pre=None):
     from ..stages.textops import _window_poly_hashes
 
     n_docs = len(texts)
-    th, counts = token_hash_runs(texts) if pre is None else pre
+    th, counts = token_hash_runs(texts, lowered=lowered) if pre is None else pre
     if th is None:
         return None, np.empty(0, np.int64), np.zeros(n_docs, np.int64)
     offsets = np.zeros(n_docs + 1, np.int64)
@@ -174,11 +181,12 @@ class MinHasher:
         self.a = rng.integers(1, 2**61 - 1, n_perm, dtype=np.uint64)
         self.b = rng.integers(0, 2**61 - 1, n_perm, dtype=np.uint64)
 
-    def _signatures(self, texts) -> np.ndarray:
+    def _signatures(self, texts, *, lowered: bool = False) -> np.ndarray:
         """(n_perm, n_docs) minhash signatures for a pandas Series."""
         n_docs = len(texts)
         sig = np.full((self.n_perm, n_docs), np.iinfo(np.uint64).max, dtype=np.uint64)
-        sh, _, n_win = token_window_hashes(texts, self.shingle_k, short_run_fallback=True)
+        sh, _, n_win = token_window_hashes(texts, self.shingle_k,
+                                           short_run_fallback=True, lowered=lowered)
         if sh is None:
             return sig
         # per-perm, per-doc min via reduceat over each doc's window run
@@ -196,10 +204,10 @@ class MinHasher:
         return self._signatures(pd.Series([text]))[:, 0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pandas().fillna("")
+        texts = arrow_text_series(batch["text"], lower=True)
         ids = batch["doc_id"].to_numpy()
         n_docs = len(ids)
-        sig = self._signatures(texts)  # (n_perm, n_docs)
+        sig = self._signatures(texts, lowered=True)  # (n_perm, n_docs)
         bands = sig.reshape(self.n_bands, self.rows_per_band, n_docs)
         with np.errstate(over="ignore"):
             acc = (bands * np.uint64(0x9E3779B9)).sum(axis=1, dtype=np.uint64)
@@ -267,11 +275,11 @@ class SimHasher:
         v = (2 * bits - 1).sum(axis=0)
         return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
-    def _simhashes(self, texts) -> np.ndarray:
+    def _simhashes(self, texts, *, lowered: bool = False) -> np.ndarray:
         """(n_docs,) uint64 simhashes for a pandas Series of texts."""
         n_docs = len(texts)
         out = np.zeros(n_docs, dtype=np.uint64)
-        toks = texts.str.lower().str.findall(self.token)
+        toks = (texts if lowered else texts.str.lower()).str.findall(self.token)
         counts = toks.str.len().to_numpy().astype(np.int64)
         if int(counts.sum()) == 0:
             return out
@@ -289,8 +297,8 @@ class SimHasher:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        s = batch["text"].to_pandas().fillna("")
-        vals = self._simhashes(s).astype(np.int64)
+        s = arrow_text_series(batch["text"], lower=True)
+        vals = self._simhashes(s, lowered=True).astype(np.int64)
         return batch.append_column("simhash", pa.array(vals, pa.int64()))
 
 

@@ -49,7 +49,7 @@ def hashed_trigram_embed(texts: pa.ChunkedArray | pa.Array, dim: int) -> np.ndar
     W = 3
     arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
     is_null = pc.is_null(arr).to_numpy(zero_copy_only=False)
-    s = arr.to_pandas().fillna("")
+    s = pc.fill_null(arr, "").to_pandas()
     n_rows = len(s)
     blen = (
         pc.binary_length(pc.cast(pc.fill_null(arr, ""), pa.binary()))

@@ -37,6 +37,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.sketches import hash64
+from .textops import arrow_text_series
 
 _EDGE_WS = "\t\n\f\r "  # explicit RE2 whitespace class, textops parity
 
@@ -45,7 +46,7 @@ def _line_frame(batch: pa.Table, column: str) -> pd.DataFrame:
     """Explode a text column into one row per line: (row index in the
     batch, raw line, uint64 hash of the stripped line; hash 0 marks
     whitespace-only lines, which never count and never drop)."""
-    s = batch[column].to_pandas().fillna("")
+    s = arrow_text_series(batch[column])
     ex = s.str.split("\n").explode()
     norm = ex.str.strip(_EDGE_WS)
     h = np.zeros(len(ex), np.uint64)

@@ -41,6 +41,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.sketches import hash64
+from .textops import arrow_text_series
 
 # lowercase word tokens, ASCII + latin-1-ish letters with apostrophes —
 # deliberately simple and shared verbatim by train and score.
@@ -83,7 +84,7 @@ def _doc_window_hashes(batch: pa.Table, column: str):
     are the reduceat segment offsets into the window arrays for rows
     with >=1 token, ``row_index`` maps segments back to batch rows, and
     ``uni`` is the flat token-hash array (for vocabulary counting)."""
-    s = batch[column].to_pandas().fillna("").str.lower()
+    s = arrow_text_series(batch[column], lower=True)
     toks = s.str.findall(_WORD)
     n_tok = toks.str.len().to_numpy(dtype=np.int64)
     rows = np.flatnonzero(n_tok > 0)

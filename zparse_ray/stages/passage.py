@@ -41,6 +41,7 @@ import pyarrow as pa
 
 from ..functions.sketches import hash64
 from .textops import _dense_window_hashes
+from .textops import arrow_text_series
 
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -69,7 +70,7 @@ def passage_fingerprint_batch(batch: pa.Table, *, column: str = "text",
     (deduplicated). Fully vectorized across the batch."""
     import pyarrow.compute as pc
 
-    s = batch[column].to_pandas().fillna("")
+    s = arrow_text_series(batch[column])
     ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
     blen = pc.binary_length(
         pc.cast(pc.fill_null(batch[column].combine_chunks(), ""), pa.binary())
