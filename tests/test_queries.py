@@ -72,6 +72,11 @@ def test_median_value_by_type_matches_oracle(ray_session, con):
     ("events_daily_counts", "_DAILY_SQL"),
     ("hll_cardinality", "_HLL_SQL"),
     ("tdigest_quantiles", "_TDIGEST_SQL"),
+    # r5 retirements: slots freed for minhash_lsh_neardup /
+    # media_features; the global-distinct / keyed-count machinery stays
+    # driver-checked via hll_users_by_type, value_stats_by_type, q1
+    ("distinct_counts", "_DISTINCT_SQL"),
+    ("events_per_type", "_PERTYPE_SQL"),
 ])
 def test_retired_registry_queries_match_oracle(ray_session, con, name, sql_attr):
     """orders_status_priority / events_daily_counts were retired from
