@@ -741,3 +741,112 @@ def test_full_curation_chain_interop(ray_session, tmp_path):
     ).to_pandas()
     assert again["doc_id"].tolist() == split["doc_id"].tolist()
     assert again["chunk_id"].tolist() == split["chunk_id"].tolist()
+
+
+def test_clean_persist_intermediate_identical_output(ray_session, tmp_path):
+    """persist_intermediate trades object-store/disk for the redaction
+    recompute in the line-dedup count pass (VERDICT r4 item 8 knob) —
+    output must be identical either way."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from zparse_ray.pipelines.clean_corpus import clean_corpus
+
+    rng = np.random.default_rng(31)
+    vocab = [f"v{j}" for j in range(40)]
+    texts, ids = [], []
+    for i in range(40):
+        texts.append(" ".join(rng.choice(vocab, 30)))
+        ids.append(i)
+    for i in range(4):  # shared footer + PII so both stages do work
+        texts.append(f"body {i}\nwrite to me+{i}@mail.example\nshared footer line")
+        ids.append(100 + i)
+    df = pd.DataFrame({"doc_id": np.array(ids, np.int64), "text": texts})
+    src = str(tmp_path / "docs.parquet")
+    pa.parquet.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+
+    outs = []
+    for persist in (False, True):
+        out = str(tmp_path / f"clean_persist_{persist}")
+        stats = clean_corpus(src, out, line_min_docs=2, max_dup_word_frac=0.9,
+                             persist_intermediate=persist)
+        t = pq.read_table(out).sort_by([("doc_id", "ascending")])
+        outs.append((stats["n_docs_out"], t))
+    (n_a, ta), (n_b, tb) = outs
+    assert n_a == n_b
+    assert ta.equals(tb)
+
+
+def test_composed_clean_dedup_mix_pack_cli(ray_session, tmp_path):
+    """The composed pipeline a curation run actually executes (VERDICT
+    r4 item 7), driven through the real CLI subcommands as separate
+    processes: clean -> dedup -> mix -> pack, with row-conservation
+    invariants asserted across every stage boundary."""
+    import json as _json
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    rng = np.random.default_rng(53)
+    vocab = [f"w{j}" for j in range(300)]
+    texts, ids = [], []
+    for i in range(120):
+        texts.append(" ".join(rng.choice(vocab, 60, replace=False)))
+        ids.append(i)
+    for i in range(10):  # exact dups for the dedup stage to drop —
+        # case/space variants so the CLEAN stage's line-dedup (case-
+        # sensitive line hashes) does not collapse them first; only the
+        # normalized content hash of the dedup stage sees them as equal
+        texts.append("  " + texts[i].upper() + " ")
+        ids.append(1000 + i)
+    for i in range(4):  # boilerplate + PII for the clean stage
+        texts.append(f"doc body {i}\ncontact us at info@example.org\n"
+                     f"{' '.join(rng.choice(vocab, 40, replace=False))}")
+        ids.append(2000 + i)
+    df = pd.DataFrame({"doc_id": np.array(ids, np.int64), "text": texts})
+    src = str(tmp_path / "raw.parquet")
+    pa.parquet.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+
+    def run(args):
+        r = subprocess.run(
+            [sys.executable, "-m", "zparse_ray.run", *args],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={"PATH": "/usr/bin:/bin", "HOME": "/root",
+                 "RAY_DEDUP_LOGS": "0"},
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+
+    cleaned = str(tmp_path / "cleaned")
+    c = run(["clean", "--input", src, "--output", cleaned,
+             "--line-min-docs", "2", "--num-cpus", "4"])
+    assert c["n_docs_in"] == 134
+    assert c["n_docs_out"] == 134  # cleaning annotates/redacts, drops none here
+
+    deduped = str(tmp_path / "deduped")
+    d = run(["dedup", "--input", cleaned, "--output", deduped,
+             "--mode", "exact", "--num-cpus", "4"])
+    assert d["n_docs_in"] == c["n_docs_out"]
+    assert d["n_dropped"] == 10  # the planted exact dups
+    n_dedup = d["n_docs_out"]
+
+    mixed = str(tmp_path / "mixed")
+    m = run(["mix", "--source", f"main={deduped}",
+             "--token-budget", "1000000", "--max-epochs", "1",
+             "--output", mixed, "--num-cpus", "4"])
+    assert m["n_rows"] == n_dedup  # budget >> corpus: every row kept once
+
+    packed = str(tmp_path / "packed")
+    p = run(["pack", "--input", mixed, "--output", packed,
+             "--seq-tokens", "128", "--mode", "whole", "--num-cpus", "4"])
+    # whole-mode conservation: every mixed doc appears in exactly one
+    # sequence, and token totals survive packing exactly
+    t = pq.read_table(packed, columns=["n_tokens", "doc_ids"])
+    flat = [d for l in t["doc_ids"].to_pylist() for d in l]
+    assert len(flat) == n_dedup and len(set(flat)) == n_dedup
+    assert p["total_tokens"] == int(pa.compute.sum(t["n_tokens"]).as_py())
+    assert p["n_sequences"] == t.num_rows > 0

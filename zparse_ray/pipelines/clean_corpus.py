@@ -65,12 +65,21 @@ def clean_corpus(
     max_perplexity: float | None = None,
     lm_reference: str | None = None,
     concurrency: int = 2,
+    persist_intermediate: bool = False,
 ) -> dict:
     """Run the cleaning pipeline; write survivors under ``out_dir``
     (must be empty — mixing runs corrupts stats) and return stats.
     Set ``line_min_docs=0`` to skip boilerplate removal; leave
     ``max_dup_word_frac`` / ``max_perplexity`` as None to skip those
-    filters (annotations are still written when their stage ran)."""
+    filters (annotations are still written when their stage ran).
+
+    ``persist_intermediate`` materializes the normalized/redacted
+    stream into the object store (Ray spills to disk past memory)
+    before the line-dedup count pass, so redaction runs ONCE instead
+    of being re-executed by that pass's second traversal — the
+    storage-for-CPU side of the trade ``stages/line_dedup`` documents
+    (both are valid at 100 TB; default stays recompute). Output is
+    byte-identical either way (pinned by test)."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
@@ -98,6 +107,11 @@ def clean_corpus(
 
         docs = normalize(docs, column=text_column)
     ds = redact(docs, column=text_column) if redact_pii else docs
+    if persist_intermediate and line_min_docs and (redact_pii or normalize_text):
+        # pay object-store/disk for the normalized+redacted blocks so
+        # the line-dedup count pass reads them instead of re-running
+        # the upstream maps (lineage is cut; spilling bounds memory)
+        ds = ds.materialize()
     if line_min_docs:
         ds = line_dedup(
             ds, column=text_column, min_docs=line_min_docs, concurrency=concurrency

@@ -146,6 +146,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop docs above this trigram-LM perplexity")
     cl.add_argument("--lm-reference", default=None,
                     help="trusted corpus to train the LM on (default: the input)")
+    cl.add_argument("--persist-intermediate", action="store_true",
+                    help="materialize the redacted stream (object store, "
+                         "spills to disk) so the line-dedup count pass "
+                         "does not re-run redaction — storage-for-CPU trade")
     cl.add_argument("--num-cpus", type=int, default=None)
 
     ch = sub.add_parser("chunk", help="split documents into token-window chunks")
@@ -296,6 +300,7 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 max_perplexity=args.max_perplexity,
                 lm_reference=args.lm_reference,
+                persist_intermediate=args.persist_intermediate,
             )))
             return 0
         if args.cmd == "mix":
