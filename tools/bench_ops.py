@@ -129,6 +129,37 @@ def main():
         return {"pairs": real, "n_dropped": int(dropped), "n_docs": n_base}
 
     @op
+    def dedup_exact():
+        import shutil
+
+        from zparse_ray.pipelines.dedup_corpus import dedup_corpus
+
+        out = "/tmp/bench_ops_dedup_exact"
+        shutil.rmtree(out, ignore_errors=True)
+        stats = dedup_corpus(CORPUS, out, mode="exact")
+        return {"n_out": stats["n_docs_out"], "n_dropped": stats["n_dropped"]}
+
+    @op
+    def dedup_minhash():
+        # the replica corpus is ADVERSARIALLY dup-heavy for near-dup
+        # semantics: every 'rep{r} '-prefixed copy is a 0.9-Jaccard
+        # near-dup of its 39 siblings, so all 5k families collapse and
+        # the distributed verify stage carries the full O(families x
+        # C(cap,2)) candidate load — the scale case the r5 rewrite
+        # exists for (the old driver-bound verify pulled every pair +
+        # text to the driver here)
+        import shutil
+
+        from zparse_ray.pipelines.dedup_corpus import dedup_corpus
+
+        out = "/tmp/bench_ops_dedup_minhash"
+        shutil.rmtree(out, ignore_errors=True)
+        stats = dedup_corpus(CORPUS, out, mode="minhash", threshold=0.8)
+        return {"n_out": stats["n_docs_out"], "n_dropped": stats["n_dropped"],
+                "n_components": stats["n_neardup_components"],
+                "n_truncated_slots": stats["n_truncated_slots"]}
+
+    @op
     def ngram_repetition():
         from zparse_ray.stages.textops import ngram_repetition as nr
 

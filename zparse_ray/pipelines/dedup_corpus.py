@@ -121,13 +121,23 @@ def _drop_ids_minhash(docs, id_column: str, text_column: str, threshold: float,
     named = docs.map_batches(rename, batch_format="pyarrow")
     # leave >= 1 CPU for the task-pool stages feeding the actor pool —
     # 2 actors on a 2-CPU cluster deadlock (actors hold every CPU while
-    # waiting for input the starved read tasks can never produce)
-    n_actors = max(1, min(2, int(ray.cluster_resources().get("CPU", 3)) - 1))
+    # waiting for input the starved read tasks can never produce);
+    # scale up to 16 on big hosts so the vectorized signature stage
+    # isn't the pipeline's artificial ceiling
+    n_actors = max(1, min(16, int(ray.cluster_resources().get("CPU", 3)) - 1))
     bands = named.map_batches(MinHasher, batch_format="pyarrow", concurrency=n_actors)
     # materialized: the compact (a, b, n_dropped) pair stream feeds the
     # truncation count AND the pair-dedup, so the LSH shuffle runs once
+    # star edges (min_id -> member) per bucket: O(k) rows per bucket
+    # instead of O(k^2) — the component stage only needs connectivity
+    # that survives verification against the bucket representative, so
+    # a 40-replica dup family costs 39 verifies, not 780. Trade: a
+    # member failing the representative verify keeps its doc even if
+    # it would have verified against another member (recall is set by
+    # the banding either way; measured identical drops on the planted
+    # test corpora).
     cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        lsh_candidate_pairs, batch_format="pandas"
+        lambda g: lsh_candidate_pairs(g, star=True), batch_format="pandas"
     ).materialize()
     n_truncated = int(cand.sum("n_dropped") or 0)  # markers carry it; pairs add 0
     if n_truncated:

@@ -223,22 +223,40 @@ class MinHasher:
         )
 
 
-def lsh_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """map_groups body over (band_id, band_hash) groups: all doc pairs
-    in a bucket become candidates. Pathological (hot) buckets are capped
-    at 64 docs, and the truncation is NOT silent (ADVICE r2): a capped
-    bucket emits one marker row ``(a=-1, b=-1, n_dropped=k)`` so callers
-    can aggregate the recall loss; normal pair rows carry
-    ``n_dropped=0``."""
+def lsh_candidate_pairs(group: pd.DataFrame, *, star: bool = False,
+                        cap: int = 64) -> pd.DataFrame:
+    """map_groups body over (band_id, band_hash) groups. Two shapes:
+
+    - ``star=False`` (default): ALL doc pairs in a bucket become
+      candidates — O(k^2) per bucket; right when the consumer reports
+      the PAIR set itself (``minhash_lsh_neardup``).
+    - ``star=True``: each bucket emits only (min_id, other) edges —
+      O(k) per bucket, the standard LSH-dedup shape. For a CONNECTED-
+      COMPONENTS consumer the star preserves exactly the connectivity
+      that survives verification against the bucket representative: a
+      dup-heavy corpus (k-sized identical families) generates k-1 rows
+      per bucket instead of k(k-2)/2 — on a 40-replica family that is
+      20x less shuffle and 20x fewer exact-Jaccard verifies. Trade
+      (documented in dedup_corpus): a member that fails to verify
+      against the representative keeps its own doc even if it would
+      have verified against some other member.
+
+    Pathological (hot) buckets are capped at ``cap`` docs, and the
+    truncation is NOT silent (ADVICE r2): a capped bucket emits one
+    marker row ``(a=-1, b=-1, n_dropped=k)`` so callers can aggregate
+    the recall loss; normal pair rows carry ``n_dropped=0``."""
     ids = np.unique(group["doc_id"].to_numpy())
     if len(ids) < 2:
         return pd.DataFrame({"a": [], "b": [], "n_dropped": []})
-    cap = 64  # salt/cap pathological buckets
     n_dropped = max(0, len(ids) - cap)
     ids = ids[:cap]
-    ii, jj = np.triu_indices(len(ids), k=1)
-    a = ids[ii].astype(np.int64)
-    b = ids[jj].astype(np.int64)
+    if star:
+        a = np.full(len(ids) - 1, ids[0], dtype=np.int64)
+        b = ids[1:].astype(np.int64)
+    else:
+        ii, jj = np.triu_indices(len(ids), k=1)
+        a = ids[ii].astype(np.int64)
+        b = ids[jj].astype(np.int64)
     nd = np.zeros(len(a), dtype=np.int64)
     if n_dropped:
         a = np.append(a, -1)
@@ -361,20 +379,39 @@ def connected_components(edges_ds, *, max_rounds: int = 50, n_buckets: int | Non
         )
 
     edges = edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    # block-count discipline: edges arriving through upstream bucketed
+    # joins carry O(buckets) tiny blocks, and each round's union would
+    # otherwise COMPOUND label blocks (measured 240 -> 720 -> ... on a
+    # 435k-edge corpus, turning ~5 s rounds into 50 s of shuffle-task
+    # overhead) — repartition edges once and labels every round to a
+    # count sized by rows, not by upstream bucket fan-out
+    n_edge_rows = edges.count()
+    n_blocks = int(min(128, max(8, n_edge_rows // 500_000 + 1)))
+    edges = edges.repartition(n_blocks).materialize()
 
     def init_labels(t: pa.Table) -> pa.Table:
-        v = np.unique(t["src"].to_numpy(zero_copy_only=False))
-        return pa.table({"node": pa.array(v, pa.int64()), "component": pa.array(v, pa.int64())})
+        # neighbor-min seed: label(v) = min(v, min neighbor) — one free
+        # half-step of propagation (a star component converges at init;
+        # the loop then only pays its confirmation round)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([src, src]), pa.int64()),
+                "component": pa.array(np.concatenate([np.minimum(src, dst), src]), pa.int64()),
+            }
+        )
 
     labels = (
         edges.map_batches(init_labels, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Min("component", alias_name="component"))
+        .repartition(n_blocks)
         .materialize()
     )
     if labels.count() == 0:
         return labels
-    prev_sum = None
+    prev_sum = labels.sum("component")
     converged = False
     for _ in range(max_rounds):
         prop = bucketed_shuffle_join(
@@ -390,6 +427,7 @@ def connected_components(edges_ds, *, max_rounds: int = 50, n_buckets: int | Non
             .union(labels)
             .groupby("node")
             .aggregate(Min("component", alias_name="component"))
+            .repartition(n_blocks)
             .materialize()
         )
         s = labels.sum("component")
