@@ -31,15 +31,18 @@ test) to free a slot for passage_repeats, and tdigest_quantiles
 likewise (r3 hash-green; the t-digest partial/merge machinery stays
 driver-checked via its grouped superset tdigest_quantiles_by_type) to
 free a slot for pack_conservation.
-Four approximate operators are
+Six approximate/chain operators are
 oracle-checked via the TRUE-boolean pattern (the hll_within_2pct
 precedent): the output carries SQL-reproducible exact facets plus
 hash-gated accuracy booleans computed against the exact green
 counterpart, so accuracy is part of the hash compare, not
 self-reported — embedding_neardup_lsh (planted recall == 100 +
 subset-of-exact), top_tokens_cms (top-k equality + eps*N bound),
-ann_ivf_topk (recall floor + top-1 + probed-file subset),
-tdigest_quantiles_by_type (exact grouped quantiles + 2% error gate).
+ann_ivf_topk (mean recall floor over 8 queries + top-1 + probed-file
+subset), tdigest_quantiles_by_type (exact grouped quantiles + 2%
+error gate), minhash_lsh_neardup (planted recall == 100 +
+independent-jaccard precision), media_features (exact PNG/WAV decode
+parity booleans).
 
 Round 5 (VERDICT r4 item 6) promoted two more to TRUE-boolean oracle
 checks: minhash_lsh_neardup (planted recall over the >=64-token seed
