@@ -1543,3 +1543,41 @@ def test_pair_jaccard_matches_per_row_reference():
     want = [jaccard(shingles(a, 5), shingles(b, 5)) for a, b in zip(texts_a, texts_b)]
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
     assert pair_jaccard([], []).shape == (0,)
+
+
+def test_lsh_candidate_pairs_batched_matches_per_bucket_kernel():
+    """The coarse-bucket batched kernel must emit exactly the union of
+    lsh_candidate_pairs over the contained (band_id, band_hash)
+    buckets — pairs AND truncation markers — in both star and
+    all-pairs modes, including past-cap buckets and duplicate rows."""
+    import pandas as pd
+
+    from zparse_ray.stages.dedup import lsh_candidate_pairs, lsh_candidate_pairs_batched
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for band in range(4):
+        for bucket in range(12):
+            k = int(rng.integers(1, 10))
+            if bucket == 0:
+                k = 9  # plus duplicates below
+            ids = rng.choice(2000, k, replace=False)
+            for i in ids:
+                rows.append((int(i), band, bucket * 7919 + band))
+            rows.append((int(ids[0]), band, bucket * 7919 + band))  # dup row
+    df = pd.DataFrame(rows, columns=["doc_id", "band_id", "band_hash"])
+    for star in (False, True):
+        cap = 5  # small cap so truncation markers appear
+        got = lsh_candidate_pairs_batched(df, star=star, cap=cap)
+        want_pairs, want_drops = set(), []
+        for _, g in df.groupby(["band_id", "band_hash"]):
+            out = lsh_candidate_pairs(g, star=star, cap=cap)
+            for r in out.itertuples():
+                if r.a < 0:
+                    want_drops.append(int(r.n_dropped))
+                else:
+                    want_pairs.add((int(r.a), int(r.b)))
+        got_pairs = {(int(r.a), int(r.b)) for r in got.itertuples() if r.a >= 0}
+        got_drops = sorted(int(r.n_dropped) for r in got.itertuples() if r.a < 0)
+        assert got_pairs == want_pairs, star
+        assert got_drops == sorted(want_drops), star

@@ -110,7 +110,7 @@ def _drop_ids_minhash(docs, id_column: str, text_column: str, threshold: float,
     from ..stages.dedup import (
         MinHasher,
         connected_components,
-        lsh_candidate_pairs,
+        lsh_candidate_pair_stream,
         pair_jaccard,
     )
     from ..stages.joins import bucketed_shuffle_join
@@ -135,10 +135,11 @@ def _drop_ids_minhash(docs, id_column: str, text_column: str, threshold: float,
     # member failing the representative verify keeps its doc even if
     # it would have verified against another member (recall is set by
     # the banding either way; measured identical drops on the planted
-    # test corpora).
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: lsh_candidate_pairs(g, star=True), batch_format="pandas"
-    ).materialize()
+    # test corpora). Candidates come through the COARSE-bucket stream
+    # (one Ray dispatch per coarse bucket, not per LSH bucket — the
+    # per-tiny-group map_groups dispatch dominated this stage).
+    cand = lsh_candidate_pair_stream(bands, star=True,
+                                     est_rows=est_rows).materialize()
     n_truncated = int(cand.sum("n_dropped") or 0)  # markers carry it; pairs add 0
     if n_truncated:
         logger.warning(

@@ -1638,7 +1638,7 @@ def minhash_lsh_neardup(sf_dir: str):
     from ..stages.dedup import (
         MinHasher,
         jaccard,
-        lsh_candidate_pairs,
+        lsh_candidate_pair_stream,
         pair_jaccard,
         shingles,
     )
@@ -1647,9 +1647,7 @@ def minhash_lsh_neardup(sf_dir: str):
 
     docs = _augmented_docs(sf_dir)
     bands = docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        lsh_candidate_pairs, batch_format="pandas"
-    ).materialize()
+    cand = lsh_candidate_pair_stream(bands).materialize()
     n_truncated = int(cand.sum("n_dropped") or 0)
     if n_truncated:
         import logging

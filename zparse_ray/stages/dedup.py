@@ -265,6 +265,106 @@ def lsh_candidate_pairs(group: pd.DataFrame, *, star: bool = False,
     return pd.DataFrame({"a": a, "b": b, "n_dropped": nd})
 
 
+def lsh_bucket_of(band_id: np.ndarray, band_hash: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Coarse co-location key for (band_id, band_hash) buckets: every
+    row of one LSH bucket maps to the same coarse bucket, many LSH
+    buckets share one coarse bucket."""
+    with np.errstate(over="ignore"):
+        mixed = band_hash.astype(np.uint64) + band_id.astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+    return (hash64(mixed, seed=7) % np.uint64(n_buckets)).astype(np.int32)
+
+
+def lsh_candidate_pairs_batched(group: pd.DataFrame, *, star: bool = False,
+                                cap: int = 64) -> pd.DataFrame:
+    """Coarse-bucket candidate generation: ONE callback processes MANY
+    (band_id, band_hash) buckets — the ``passage_pairs`` window-family
+    bucketing pattern. ``groupby(band_id, band_hash).map_groups``
+    dispatches a Ray call per TINY group (millions of ~40-row groups at
+    corpus scale, where dispatch dwarfs the O(k) work); here segments
+    are recovered with one lexsort and the star path is fully
+    vectorized (all-pairs loops over segments in plain Python — no Ray
+    per-group overhead). Emits exactly the union of
+    ``lsh_candidate_pairs`` over the contained buckets (equivalence
+    pinned by test), markers included."""
+    band = group["band_id"].to_numpy().astype(np.int64)
+    bh = group["band_hash"].to_numpy().astype(np.int64)
+    ids = group["doc_id"].to_numpy().astype(np.int64)
+    if len(ids) == 0:
+        return pd.DataFrame({"a": [], "b": [], "n_dropped": []})
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids = band[order], bh[order], ids[order]
+    # drop duplicate (bucket, id) rows (np.unique parity with the
+    # per-group kernel), then find bucket segments
+    keep = np.empty(len(ids), bool)
+    keep[0] = True
+    keep[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1]) | (ids[1:] != ids[:-1])
+    band, bh, ids = band[keep], bh[keep], ids[keep]
+    seg = np.empty(len(ids), bool)
+    seg[0] = True
+    seg[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.flatnonzero(seg)
+    counts = np.diff(np.append(starts, len(ids)))
+    multi = counts >= 2
+    if not multi.any():
+        return pd.DataFrame({"a": [], "b": [], "n_dropped": []})
+    s2, c2 = starts[multi], counts[multi]
+    kept = np.minimum(c2, cap)
+    dropped = c2 - kept
+    if star:
+        # a = each segment's first (minimum) id, b = its next kept-1 ids
+        n_b = kept - 1
+        a = np.repeat(ids[s2], n_b)
+        within = np.arange(int(n_b.sum())) - np.repeat(np.cumsum(n_b) - n_b, n_b)
+        b = ids[np.repeat(s2, n_b) + 1 + within]
+        nd = np.zeros(len(a), dtype=np.int64)
+    else:
+        a_parts, b_parts = [], []
+        for st, k in zip(s2, kept):
+            ii, jj = np.triu_indices(int(k), k=1)
+            a_parts.append(ids[st + ii])
+            b_parts.append(ids[st + jj])
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        nd = np.zeros(len(a), dtype=np.int64)
+    n_marks = int((dropped > 0).sum())
+    if n_marks:
+        a = np.append(a, np.full(n_marks, -1, np.int64))
+        b = np.append(b, np.full(n_marks, -1, np.int64))
+        nd = np.append(nd, dropped[dropped > 0])
+    return pd.DataFrame({"a": a, "b": b, "n_dropped": nd})
+
+
+def lsh_candidate_pair_stream(bands, *, star: bool = False, cap: int = 64,
+                              est_rows: int | None = None,
+                              n_buckets: int | None = None):
+    """The candidate-pair Dataset from a (doc_id, band_id, band_hash)
+    band stream: coarse-bucket co-location + the batched kernel —
+    one shuffle, O(coarse buckets) Python dispatches instead of
+    O(LSH buckets)."""
+    from .joins import resolve_n_buckets
+
+    nb = resolve_n_buckets(est_rows, n_buckets)
+
+    def add_cb(t: pa.Table) -> pa.Table:
+        cb = lsh_bucket_of(
+            t["band_id"].to_numpy().astype(np.int64),
+            t["band_hash"].to_numpy(),
+            nb,
+        )
+        return t.append_column("__cb", pa.array(cb, pa.int32()))
+
+    return (
+        bands.map_batches(add_cb, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__cb")
+        .map_groups(
+            lambda g: lsh_candidate_pairs_batched(g, star=star, cap=cap),
+            batch_format="pandas",
+        )
+    )
+
+
 class SimHasher:
     """64-bit SimHash over token hashes.
 
