@@ -1581,3 +1581,45 @@ def test_lsh_candidate_pairs_batched_matches_per_bucket_kernel():
         got_drops = sorted(int(r.n_dropped) for r in got.itertuples() if r.a < 0)
         assert got_pairs == want_pairs, star
         assert got_drops == sorted(want_drops), star
+
+
+def test_simhash_candidate_pairs_batched_matches_per_bucket_kernel():
+    import pandas as pd
+
+    from zparse_ray.stages.dedup import (
+        simhash_candidate_pairs,
+        simhash_candidate_pairs_batched,
+    )
+
+    rng = np.random.default_rng(29)
+    rows = []
+    for band in range(4):
+        for bucket in range(8):
+            k = int(rng.integers(1, 9))
+            ids = rng.choice(500, k, replace=False)
+            base = int(rng.integers(0, 2**63 - 1))
+            for i in ids:
+                # cluster simhashes around base so some pairs pass <=3
+                sim = base ^ int(rng.integers(0, 16))
+                rows.append((int(i), band, bucket * 131 + band, sim))
+    df = pd.DataFrame(rows, columns=["doc_id", "band_id", "band_bits", "simhash"])
+    cap = 4
+    got = simhash_candidate_pairs_batched(df, max_hamming=3, cap=cap)
+    want_pairs, want_drops = {}, []
+    for _, g in df.groupby(["band_id", "band_bits"]):
+        out = simhash_candidate_pairs(g.drop_duplicates("doc_id"), 3)
+        # reproduce the cap with the per-bucket kernel's own semantics
+        sub = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(sub) > cap:
+            want_drops.append(len(sub) - cap)
+            sub = sub.iloc[:cap]
+        out = simhash_candidate_pairs(sub, 3)
+        for r in out.itertuples():
+            if r.a >= 0:
+                want_pairs[(int(r.a), int(r.b))] = int(r.hamming)
+    got_pairs = {
+        (int(r.a), int(r.b)): int(r.hamming) for r in got.itertuples() if r.a >= 0
+    }
+    got_drops = sorted(int(r.n_dropped) for r in got.itertuples() if r.a < 0)
+    assert got_pairs == want_pairs
+    assert got_drops == sorted(want_drops)

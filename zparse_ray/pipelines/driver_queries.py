@@ -1761,14 +1761,16 @@ def simhash_neardup(sf_dir: str):
     fingerprints -> 4-band pigeonhole explode -> (band_id, band_bits)
     groupby -> exact-hamming verify per bucket (VERDICT r1: hamming-0
     only before). Rows-only check."""
-    from ..stages.dedup import SimHasher, simhash_band_explode, simhash_candidate_pairs
+    from ..stages.dedup import (
+        SimHasher,
+        simhash_band_explode,
+        simhash_candidate_pair_stream,
+    )
 
     docs = _augmented_docs(sf_dir)
-    pairs = (
+    pairs = simhash_candidate_pair_stream(
         docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
         .map_batches(simhash_band_explode, batch_format="pyarrow")
-        .groupby(["band_id", "band_bits"])
-        .map_groups(simhash_candidate_pairs, batch_format="pandas")
     )
     # a pair can surface from several bands — dedup the tiny pair set
     rows, n_dropped = {}, 0

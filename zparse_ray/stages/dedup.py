@@ -580,6 +580,90 @@ def simhash_candidate_pairs(group: pd.DataFrame, max_hamming: int = 3) -> pd.Dat
     return pd.DataFrame({"a": a, "b": b, "hamming": h, "n_dropped": nd})
 
 
+def simhash_candidate_pairs_batched(group: pd.DataFrame, *, max_hamming: int = 3,
+                                    cap: int = 64) -> pd.DataFrame:
+    """Coarse-bucket variant of ``simhash_candidate_pairs`` (the
+    ``lsh_candidate_pairs_batched`` pattern): one callback processes
+    many (band_id, band_bits) buckets; segments recovered with one
+    lexsort, exact-hamming verify vectorized per segment. Emits the
+    union of the per-bucket kernel's outputs, markers included."""
+    band = group["band_id"].to_numpy().astype(np.int64)
+    bits = group["band_bits"].to_numpy().astype(np.int64)
+    ids = group["doc_id"].to_numpy().astype(np.int64)
+    sims = group["simhash"].to_numpy().astype(np.int64)
+    if len(ids) == 0:
+        return pd.DataFrame({"a": [], "b": [], "hamming": [], "n_dropped": []})
+    order = np.lexsort((ids, bits, band))
+    band, bits, ids, sims = band[order], bits[order], ids[order], sims[order]
+    keep = np.empty(len(ids), bool)
+    keep[0] = True
+    keep[1:] = (band[1:] != band[:-1]) | (bits[1:] != bits[:-1]) | (ids[1:] != ids[:-1])
+    band, bits, ids, sims = band[keep], bits[keep], ids[keep], sims[keep]
+    seg = np.empty(len(ids), bool)
+    seg[0] = True
+    seg[1:] = (band[1:] != band[:-1]) | (bits[1:] != bits[:-1])
+    starts = np.flatnonzero(seg)
+    counts = np.diff(np.append(starts, len(ids)))
+    a_p, b_p, h_p, drops = [], [], [], []
+    for st, c in zip(starts, counts):
+        if c < 2:
+            continue
+        k = min(int(c), cap)
+        if c > cap:
+            drops.append(int(c - cap))
+        sid = ids[st:st + k]
+        ssim = sims[st:st + k].astype(np.uint64)
+        ii, jj = np.triu_indices(k, k=1)
+        x = ssim[ii] ^ ssim[jj]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        m = ham <= max_hamming
+        a_p.append(sid[ii[m]])
+        b_p.append(sid[jj[m]])
+        h_p.append(ham[m])
+    a = np.concatenate(a_p) if a_p else np.empty(0, np.int64)
+    b = np.concatenate(b_p) if b_p else np.empty(0, np.int64)
+    h = np.concatenate(h_p) if h_p else np.empty(0, np.int64)
+    nd = np.zeros(len(a), dtype=np.int64)
+    if drops:
+        a = np.append(a, np.full(len(drops), -1, np.int64))
+        b = np.append(b, np.full(len(drops), -1, np.int64))
+        h = np.append(h, np.full(len(drops), -1, np.int64))
+        nd = np.append(nd, np.asarray(drops, np.int64))
+    return pd.DataFrame({"a": a, "b": b, "hamming": h, "n_dropped": nd})
+
+
+def simhash_candidate_pair_stream(exploded, *, max_hamming: int = 3, cap: int = 64,
+                                  est_rows: int | None = None,
+                                  n_buckets: int | None = None):
+    """Candidate-pair Dataset from a ``simhash_band_explode`` stream:
+    coarse-bucket co-location + the batched hamming kernel."""
+    from .joins import resolve_n_buckets
+
+    nb = resolve_n_buckets(est_rows, n_buckets)
+
+    def add_cb(t: pa.Table) -> pa.Table:
+        cb = lsh_bucket_of(
+            t["band_id"].to_numpy().astype(np.int64),
+            t["band_bits"].to_numpy(),
+            nb,
+        )
+        return t.append_column("__cb", pa.array(cb, pa.int32()))
+
+    return (
+        exploded.map_batches(add_cb, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__cb")
+        .map_groups(
+            lambda g: simhash_candidate_pairs_batched(
+                g, max_hamming=max_hamming, cap=cap
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # cross-corpus exact dedup (incremental-ingestion dedup: drop candidate
 # docs whose normalized content already exists in a reference corpus)
