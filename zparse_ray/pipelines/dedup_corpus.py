@@ -101,8 +101,9 @@ def _drop_ids_minhash(docs, id_column: str, text_column: str, threshold: float,
     Dataset, texts attach via two bucketed shuffle joins, exact
     Jaccard runs vectorized per batch (``dedup.pair_jaccard``), and
     component labels never land on the driver. Returns
-    ``(drop_ds | None, n_drop, n_components, n_truncated_slots)``
-    where ``drop_ds`` is a Dataset[(drop_id,)] to semi-mark against.
+    ``(drop_ds | None, n_drop, n_components, n_truncated_slots,
+    n_candidate_pairs)`` where ``drop_ds`` is a Dataset[(drop_id,)] to
+    semi-mark against.
     """
     import ray
     from ray.data.aggregate import Min
@@ -160,8 +161,9 @@ def _drop_ids_minhash(docs, id_column: str, text_column: str, threshold: float,
         .drop_columns(["_x"])
         .materialize()
     )
-    if pairs.count() == 0:
-        return None, 0, 0, n_truncated
+    n_candidate_pairs = pairs.count()
+    if n_candidate_pairs == 0:
+        return None, 0, 0, n_truncated, 0
 
     # attach both texts with two bucketed shuffle joins (pairs ⋈ text
     # on a, then on b) — the co-shuffle shape exact mode already uses;
@@ -200,7 +202,7 @@ def _drop_ids_minhash(docs, id_column: str, text_column: str, threshold: float,
     ).materialize()
     n_drop = drop_ds.count()
     if n_drop == 0:
-        return None, 0, 0, n_truncated
+        return None, 0, 0, n_truncated, n_candidate_pairs
     # component representatives label themselves (min-label fixpoint)
     n_components = labels.map_batches(
         lambda t: pa.table(
@@ -208,7 +210,7 @@ def _drop_ids_minhash(docs, id_column: str, text_column: str, threshold: float,
         ),
         batch_format="pyarrow",
     ).count()
-    return drop_ds, n_drop, n_components, n_truncated
+    return drop_ds, n_drop, n_components, n_truncated, n_candidate_pairs
 
 
 def dedup_corpus(
@@ -281,7 +283,7 @@ def dedup_corpus(
         n_out = keep.count()
         extra = {}
     else:
-        drop_ds, n_drop, n_components, n_truncated = _drop_ids_minhash(
+        drop_ds, n_drop, n_components, n_truncated, n_cand = _drop_ids_minhash(
             docs, id_column, text_column, threshold, est_rows=n_base
         )
         if drop_ds is not None:
@@ -301,7 +303,8 @@ def dedup_corpus(
         # ids are unique, so the survivor count is exact arithmetic
         n_out = n_base - n_drop
         extra = {"n_neardup_components": n_components,
-                 "n_truncated_slots": n_truncated}
+                 "n_truncated_slots": n_truncated,
+                 "n_candidate_pairs": n_cand}
 
     out.write_parquet(out_dir)
     return {
