@@ -850,3 +850,52 @@ def test_composed_clean_dedup_mix_pack_cli(ray_session, tmp_path):
     assert len(flat) == n_dedup and len(set(flat)) == n_dedup
     assert p["total_tokens"] == int(pa.compute.sum(t["n_tokens"]).as_py())
     assert p["n_sequences"] == t.num_rows > 0
+
+
+def test_dedup_corpus_minhash_matches_bruteforce_on_clustered_corpus(ray_session, tmp_path):
+    """Brute-force oracle for minhash mode on a corpus of clean near-dup
+    families (every member pair within a family has shingle-Jaccard
+    >= threshold, cross-family ~0): the star-edge + LSH + verify +
+    components chain must drop exactly every family's non-minimum ids —
+    the regime where star connectivity equals the all-pairs graph."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from zparse_ray.pipelines.dedup_corpus import dedup_corpus
+    from zparse_ray.stages.dedup import jaccard, shingles
+
+    rng = np.random.default_rng(71)
+    texts, ids, expected_drop = [], [], set()
+    next_id = 0
+    for fam in range(25):
+        vocab = [f"f{fam}w{j}" for j in range(220)]
+        base = list(rng.choice(vocab, 120, replace=False))
+        size = int(rng.integers(1, 6))
+        members = []
+        for m in range(size):
+            words = list(base)
+            if m:  # tiny mutation: drop one word (J ~ 0.93)
+                del words[int(rng.integers(1, len(words)))]
+            members.append((next_id, " ".join(words)))
+            next_id += 1
+        # construction sanity: every pair is above threshold
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                assert jaccard(shingles(members[i][1]), shingles(members[j][1])) >= 0.8
+        fam_min = min(i for i, _ in members)
+        for i, t in members:
+            ids.append(i)
+            texts.append(t)
+            if i != fam_min:
+                expected_drop.add(i)
+    df = pd.DataFrame({"doc_id": np.array(ids, np.int64), "text": texts})
+    src = str(tmp_path / "clustered.parquet")
+    pa.parquet.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+
+    out = str(tmp_path / "dedup_clustered")
+    stats = dedup_corpus(src, out, mode="minhash", threshold=0.8)
+    kept = set(pq.read_table(out)["doc_id"].to_pylist())
+    assert kept == set(ids) - expected_drop
+    assert stats["n_dropped"] == len(expected_drop)
+    assert stats["n_truncated_slots"] == 0
