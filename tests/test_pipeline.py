@@ -899,3 +899,33 @@ def test_dedup_corpus_minhash_matches_bruteforce_on_clustered_corpus(ray_session
     assert kept == set(ids) - expected_drop
     assert stats["n_dropped"] == len(expected_drop)
     assert stats["n_truncated_slots"] == 0
+
+
+def test_dedup_corpus_string_ids_exact_ok_minhash_rejected(ray_session, tmp_path):
+    """String doc ids: exact mode fully supports them (hash + keyed
+    Min + semi-mark are type-agnostic; keep = lexicographic-min id);
+    minhash mode is int64 end-to-end and must refuse LOUDLY up front
+    instead of surfacing a cryptic RayTaskError from the signature
+    actor pool."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from zparse_ray.pipelines.dedup_corpus import dedup_corpus
+
+    df = pd.DataFrame({
+        "doc_id": [f"d{i:03d}" for i in range(10)] + ["x1", "x2"],
+        "text": [f"unique text number {i} with words" for i in range(10)]
+                + ["unique text number 0 with words",
+                   "  UNIQUE TEXT NUMBER 1 WITH WORDS "],
+    })
+    src = str(tmp_path / "strid.parquet")
+    pa.parquet.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+
+    out = str(tmp_path / "strid_exact")
+    stats = dedup_corpus(src, out, mode="exact")
+    assert stats["n_dropped"] == 2  # both normalized copies lose to d000/d001
+    assert sorted(pq.read_table(out)["doc_id"].to_pylist()) == [
+        f"d{i:03d}" for i in range(10)
+    ]
+    with pytest.raises(ValueError, match="integer"):
+        dedup_corpus(src, str(tmp_path / "strid_mh"), mode="minhash")

@@ -116,6 +116,19 @@ def _drop_ids_minhash(docs, id_column: str, text_column: str, threshold: float,
     )
     from ..stages.joins import bucketed_shuffle_join
 
+    # fail FAST and clearly on non-integer ids: the minhash chain
+    # (band explode, pair keys, component labels) is int64 end-to-end,
+    # and without this check the type error surfaces as a cryptic
+    # RayTaskError deep inside the signature actor pool. Exact mode
+    # supports string ids (hash + keyed Min + semi-mark all take them).
+    id_type = dict(zip(docs.schema().names, docs.schema().types)).get(id_column)
+    if id_type is not None and not pa.types.is_integer(id_type):
+        raise ValueError(
+            f"dedup mode='minhash' requires an integer {id_column!r} column "
+            f"(got {id_type}); use mode='exact' for string ids, or add a "
+            f"dense integer id column first"
+        )
+
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t[id_column], "text": t[text_column]})
 
