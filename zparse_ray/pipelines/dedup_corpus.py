@@ -93,7 +93,9 @@ def _keep_ids_exact(docs, id_column: str, text_column: str):
 
 
 def _drop_ids_minhash(docs, id_column: str, text_column: str, threshold: float,
-                      est_rows: int | None = None):
+                      est_rows: int | None = None, *, n_perm: int = 128,
+                      n_bands: int = 16, shingle_k: int = 5,
+                      bucket_cap: int = 64):
     """Ids to DROP under near-dup semantics: every node of a near-dup
     component except its minimum id. Fully distributed end-to-end
     (VERDICT r4 item 1 — the old driver-bound pair-set / text-dict /
@@ -139,7 +141,13 @@ def _drop_ids_minhash(docs, id_column: str, text_column: str, threshold: float,
     # scale up to 16 on big hosts so the vectorized signature stage
     # isn't the pipeline's artificial ceiling
     n_actors = max(1, min(16, int(ray.cluster_resources().get("CPU", 3)) - 1))
-    bands = named.map_batches(MinHasher, batch_format="pyarrow", concurrency=n_actors)
+    bands = named.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"n_perm": n_perm, "n_bands": n_bands,
+                               "shingle_k": shingle_k},
+        batch_format="pyarrow",
+        concurrency=n_actors,
+    )
     # materialized: the compact (a, b, n_dropped) pair stream feeds the
     # truncation count AND the pair-dedup, so the LSH shuffle runs once
     # star edges (min_id -> member) per bucket: O(k) rows per bucket
@@ -152,13 +160,14 @@ def _drop_ids_minhash(docs, id_column: str, text_column: str, threshold: float,
     # test corpora). Candidates come through the COARSE-bucket stream
     # (one Ray dispatch per coarse bucket, not per LSH bucket — the
     # per-tiny-group map_groups dispatch dominated this stage).
-    cand = lsh_candidate_pair_stream(bands, star=True,
+    cand = lsh_candidate_pair_stream(bands, star=True, cap=bucket_cap,
                                      est_rows=est_rows).materialize()
     n_truncated = int(cand.sum("n_dropped") or 0)  # markers carry it; pairs add 0
     if n_truncated:
         logger.warning(
             "dedup_corpus: %d doc-slot drops from hot LSH buckets — near-dup "
-            "recall reduced; raise the cap or band count", n_truncated,
+            "recall reduced; raise bucket_cap (--minhash-bucket-cap) or "
+            "n_bands (--minhash-bands)", n_truncated,
         )
 
     def real_pairs(t: pa.Table) -> pa.Table:
@@ -201,7 +210,9 @@ def _drop_ids_minhash(docs, id_column: str, text_column: str, threshold: float,
     )
 
     def verify(t: pa.Table) -> pa.Table:
-        keep = pair_jaccard(t["_text_a"].to_pandas(), t["_text_b"].to_pandas()) >= threshold
+        keep = pair_jaccard(
+            t["_text_a"].to_pandas(), t["_text_b"].to_pandas(), k=shingle_k
+        ) >= threshold
         kept = t.filter(pa.array(keep))
         return pa.table({"a": kept["a"], "b": kept["b"]})
 
@@ -236,6 +247,10 @@ def dedup_corpus(
     threshold: float = 0.8,
     reference: str | None = None,
     cross_method: str = "broadcast",
+    n_perm: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    bucket_cap: int = 64,
 ) -> dict:
     """Run corpus dedup; write surviving rows as partitioned parquet
     under ``out_dir`` (must not already contain files — a dirty
@@ -244,7 +259,11 @@ def dedup_corpus(
     exists in that corpus are dropped FIRST (incremental-ingestion
     dedup via ``stages.dedup.cross_corpus_dedup``; ``cross_method`` =
     broadcast | bloom | shuffle), then within-corpus dedup runs on the
-    survivors."""
+    survivors. ``n_perm`` / ``n_bands`` / ``shingle_k`` tune the LSH
+    operating point (n_perm must be divisible by n_bands; more bands =
+    higher recall at lower effective threshold); ``bucket_cap`` bounds
+    hot-bucket pair emission — truncation stays NON-silent either way
+    (``n_truncated_slots`` + a log warning)."""
     import os
 
     import ray.data as rd
@@ -297,7 +316,9 @@ def dedup_corpus(
         extra = {}
     else:
         drop_ds, n_drop, n_components, n_truncated, n_cand = _drop_ids_minhash(
-            docs, id_column, text_column, threshold, est_rows=n_base
+            docs, id_column, text_column, threshold, est_rows=n_base,
+            n_perm=n_perm, n_bands=n_bands, shingle_k=shingle_k,
+            bucket_cap=bucket_cap,
         )
         if drop_ds is not None:
             # apply the drop set distributedly (exact mode's shape):

@@ -121,6 +121,15 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--text-column", default="text")
     d.add_argument("--threshold", type=float, default=0.8,
                    help="minhash mode: exact-Jaccard keep threshold")
+    d.add_argument("--minhash-perms", type=int, default=128,
+                   help="minhash mode: signature permutations (divisible by bands)")
+    d.add_argument("--minhash-bands", type=int, default=16,
+                   help="minhash mode: LSH bands (more = higher recall)")
+    d.add_argument("--shingle-k", type=int, default=5,
+                   help="minhash mode: tokens per shingle")
+    d.add_argument("--minhash-bucket-cap", type=int, default=64,
+                   help="minhash mode: max docs per LSH bucket before "
+                        "non-silent truncation")
     d.add_argument("--reference", default=None,
                    help="existing corpus: drop docs already present in it first")
     d.add_argument("--cross-method", choices=("broadcast", "bloom", "shuffle"),
@@ -463,6 +472,10 @@ def main(argv: list[str] | None = None) -> int:
                 threshold=args.threshold,
                 reference=args.reference,
                 cross_method=args.cross_method,
+                n_perm=args.minhash_perms,
+                n_bands=args.minhash_bands,
+                shingle_k=args.shingle_k,
+                bucket_cap=args.minhash_bucket_cap,
             )))
             return 0
         from .pipelines.validate import run_validation
