@@ -123,6 +123,10 @@ def _drop_ids_minhash(docs, id_column: str, text_column: str, threshold: float,
     # and without this check the type error surfaces as a cryptic
     # RayTaskError deep inside the signature actor pool. Exact mode
     # supports string ids (hash + keyed Min + semi-mark all take them).
+    if n_perm % n_bands:
+        raise ValueError(
+            f"n_perm ({n_perm}) must be divisible by n_bands ({n_bands})"
+        )
     id_type = dict(zip(docs.schema().names, docs.schema().types)).get(id_column)
     if id_type is not None and not pa.types.is_integer(id_type):
         raise ValueError(
